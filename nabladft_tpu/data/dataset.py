@@ -1,0 +1,467 @@
+"""Datasets + bucketed fixed-shape batching — the host-side input pipeline.
+
+Replaces the reference's ragged PyG collation (pyg_datasets.py,
+nablaDFT_dataset.py) and its orbital-budget batch packer
+(hamiltonian_dataset.py:319-405) with a TPU-friendly scheme:
+
+  * every molecule is assigned to a **bucket** by atom count (and orbital
+    count for the Hamiltonian task); bucket sizes are static, so each bucket
+    corresponds to exactly one compiled XLA program;
+  * batches are dense `[B, A_bucket]` arrays with masks (see
+    `nabladft_tpu.data.batch.MolBatch`); partial batches pad whole molecules
+    with `graph_mask=False` instead of shrinking the batch;
+  * loading is double-buffered on a background thread so collation overlaps
+    device compute.
+
+Energy splits are cached to a single .npz after the first parse of the ASE
+database (analog of the reference's processed .pt cache,
+pyg_datasets.py:101-119).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nabladft_tpu.data.ase_codec import AseDatabase
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.data.hamiltonian_db import HamiltonianDatabase
+from nabladft_tpu.data.registry import dataset_registry
+
+logger = logging.getLogger(__name__)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Record containers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EnergyRecords:
+    """Column store for an energy split (ragged rows via offsets)."""
+
+    z: np.ndarray  # [sum N] int32
+    pos: np.ndarray  # [sum N, 3] float32
+    energy: np.ndarray  # [M] float32
+    forces: np.ndarray  # [sum N, 3] float32
+    offsets: np.ndarray  # [M+1] int64
+    row_ids: np.ndarray  # [M] int32 (db ids)
+
+    def __len__(self) -> int:
+        return len(self.energy)
+
+    def natoms(self, i: int) -> int:
+        return int(self.offsets[i + 1] - self.offsets[i])
+
+    @property
+    def natoms_all(self) -> np.ndarray:
+        return (self.offsets[1:] - self.offsets[:-1]).astype(np.int32)
+
+    def slice(self, i: int) -> Tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+        a, b = self.offsets[i], self.offsets[i + 1]
+        return self.z[a:b], self.pos[a:b], float(self.energy[i]), self.forces[a:b]
+
+
+def parse_energy_db(db_path: Path, cache: bool = True) -> EnergyRecords:
+    """Read an ASE energy database into columnar arrays (cached as .npz)."""
+    db_path = Path(db_path)
+    cache_path = db_path.with_suffix(".npz")
+    if cache and cache_path.exists() and cache_path.stat().st_mtime >= db_path.stat().st_mtime:
+        d = np.load(cache_path)
+        return EnergyRecords(
+            z=d["z"], pos=d["pos"], energy=d["energy"], forces=d["forces"],
+            offsets=d["offsets"], row_ids=d["row_ids"],
+        )
+    db = AseDatabase(db_path)
+    zs, poss, es, fs, ids = [], [], [], [], []
+    for rec in db.select_all():
+        zs.append(rec.numbers.astype(np.int32))
+        poss.append(rec.positions.astype(np.float32))
+        energy = rec.data.get("energy", rec.key_value_pairs.get("energy", 0.0))
+        es.append(np.asarray(energy, np.float32).reshape(-1)[0])
+        forces = rec.data.get("forces")
+        fs.append(
+            np.asarray(forces, np.float32)
+            if forces is not None
+            else np.zeros_like(poss[-1])
+        )
+        ids.append(rec.id)
+    offsets = np.zeros(len(zs) + 1, np.int64)
+    np.cumsum([len(z) for z in zs], out=offsets[1:])
+    recs = EnergyRecords(
+        z=np.concatenate(zs),
+        pos=np.concatenate(poss),
+        energy=np.asarray(es, np.float32),
+        forces=np.concatenate(fs),
+        offsets=offsets,
+        row_ids=np.asarray(ids, np.int32),
+    )
+    if cache:
+        try:
+            np.savez(cache_path, z=recs.z, pos=recs.pos, energy=recs.energy,
+                     forces=recs.forces, offsets=recs.offsets, row_ids=recs.row_ids)
+        except OSError:
+            logger.warning("could not write dataset cache %s", cache_path)
+    return recs
+
+
+# ---------------------------------------------------------------------------
+# Buckets
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """A static-shape class: molecules with natoms <= max_atoms
+    (and norb <= max_orbitals for the Hamiltonian task)."""
+
+    max_atoms: int
+    max_orbitals: int = 0
+
+
+def assign_buckets(natoms: np.ndarray, boundaries: Sequence[int]) -> np.ndarray:
+    """Index of the smallest boundary >= natoms. Molecules above the largest
+    boundary are assigned -1 (dropped — mirror of the reference's budget-cap
+    filtering, hamiltonian_dataset.py:354-405)."""
+    bounds = np.asarray(sorted(boundaries))
+    idx = np.searchsorted(bounds, natoms, side="left")
+    out = np.where(idx < len(bounds), idx, -1)
+    return out.astype(np.int32)
+
+
+def collate_energy(
+    recs: EnergyRecords, indices: Sequence[int], batch_size: int, max_atoms: int
+) -> MolBatch:
+    """Pad the given molecules into one MolBatch of [batch_size, max_atoms]."""
+    b, a = batch_size, max_atoms
+    z = np.zeros((b, a), np.int32)
+    pos = np.zeros((b, a, 3), np.float32)
+    node_mask = np.zeros((b, a), bool)
+    graph_mask = np.zeros((b,), bool)
+    energy = np.zeros((b,), np.float32)
+    forces = np.zeros((b, a, 3), np.float32)
+    mol_id = np.full((b,), -1, np.int32)
+    for slot, i in enumerate(indices):
+        zi, pi, ei, fi = recs.slice(int(i))
+        n = len(zi)
+        z[slot, :n] = zi
+        pos[slot, :n] = pi
+        node_mask[slot, :n] = True
+        graph_mask[slot] = True
+        energy[slot] = ei
+        forces[slot, :n] = fi
+        mol_id[slot] = recs.row_ids[int(i)]
+    return MolBatch(
+        z=z, pos=pos, node_mask=node_mask, graph_mask=graph_mask,
+        energy=energy, forces=forces, mol_id=mol_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+
+class EnergyDataset:
+    """An energy split: columnar records + bucket assignment.
+
+    Args:
+      source: path to an ASE db, or a registry split name
+        (e.g. "dataset_train_tiny") to auto-download into `root`.
+    """
+
+    def __init__(
+        self,
+        source: str,
+        root: Optional[Path] = None,
+        bucket_boundaries: Sequence[int] = (32, 48, 64),
+    ):
+        path = Path(source)
+        if not path.exists():
+            root = Path(root or "datasets") / source
+            root.mkdir(parents=True, exist_ok=True)
+            path = root / "raw.db"
+            dataset_registry.download("energy", source, path)
+        self.path = path
+        self.records = parse_energy_db(path)
+        self.bucket_boundaries = tuple(sorted(bucket_boundaries))
+        self.bucket_of = assign_buckets(self.records.natoms_all, self.bucket_boundaries)
+        n_dropped = int((self.bucket_of < 0).sum())
+        if n_dropped:
+            logger.warning("%d molecules exceed the largest bucket and are dropped", n_dropped)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def buckets(self) -> List[Bucket]:
+        return [Bucket(max_atoms=b) for b in self.bucket_boundaries]
+
+
+class HamiltonianRecords:
+    """Lazy view over a Hamiltonian DB: natoms/norb scanned up front, rows
+    fetched on demand (the matrices are too large to hold in RAM)."""
+
+    def __init__(self, db: HamiltonianDatabase):
+        self.db = db
+        con = db._connection()
+        rows = con.execute("SELECT id, length(Z), length(H) FROM data ORDER BY id").fetchall()
+        self.ids = np.asarray([r[0] for r in rows], np.int64)
+        self.natoms_all = np.asarray([r[1] // 4 for r in rows], np.int32)
+        self.norb_all = np.asarray(
+            [int(round((r[2] // 4) ** 0.5)) if r[2] else 0 for r in rows], np.int32
+        )
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+
+class HamiltonianDataset:
+    """A Hamiltonian split, bucketed jointly by (natoms, norb)."""
+
+    def __init__(
+        self,
+        source: str,
+        root: Optional[Path] = None,
+        atom_boundaries: Sequence[int] = (32, 48, 64),
+        orbital_boundaries: Sequence[int] = (256, 384, 512, 640),
+        include_overlap: bool = True,
+        include_core: bool = False,
+    ):
+        path = Path(source)
+        if not path.exists():
+            root = Path(root or "datasets") / source
+            root.mkdir(parents=True, exist_ok=True)
+            path = root / "raw.db"
+            dataset_registry.download("hamiltonian", source, path)
+        self.path = path
+        self.db = HamiltonianDatabase(path)
+        self.records = HamiltonianRecords(self.db)
+        self.include_overlap = include_overlap
+        self.include_core = include_core
+        self.atom_boundaries = tuple(sorted(atom_boundaries))
+        self.orbital_boundaries = tuple(sorted(orbital_boundaries))
+        ab = assign_buckets(self.records.natoms_all, self.atom_boundaries)
+        ob = assign_buckets(self.records.norb_all, self.orbital_boundaries)
+        # joint bucket id = ab * n_orb_buckets + ob  (or -1 = dropped)
+        self.bucket_of = np.where(
+            (ab >= 0) & (ob >= 0), ab * len(self.orbital_boundaries) + ob, -1
+        ).astype(np.int32)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def bucket_shape(self, bucket_id: int) -> Tuple[int, int]:
+        ab, ob = divmod(int(bucket_id), len(self.orbital_boundaries))
+        return self.atom_boundaries[ab], self.orbital_boundaries[ob]
+
+    def collate(self, indices: Sequence[int], batch_size: int, bucket_id: int) -> MolBatch:
+        a, o = self.bucket_shape(bucket_id)
+        b = batch_size
+        z = np.zeros((b, a), np.int32)
+        pos = np.zeros((b, a, 3), np.float32)
+        node_mask = np.zeros((b, a), bool)
+        graph_mask = np.zeros((b,), bool)
+        energy = np.zeros((b,), np.float32)
+        forces = np.zeros((b, a, 3), np.float32)
+        mol_id = np.full((b,), -1, np.int32)
+        ham = np.zeros((b, o, o), np.float32)
+        over = np.zeros((b, o, o), np.float32) if self.include_overlap else None
+        core = np.zeros((b, o, o), np.float32) if self.include_core else None
+        orb_mask = np.zeros((b, o), bool)
+        recs = self.db.get_many([int(self.records.ids[i]) for i in indices])
+        for slot, rec in enumerate(recs):
+            n, no = rec.natoms, rec.norb
+            z[slot, :n] = rec.z
+            pos[slot, :n] = rec.pos
+            node_mask[slot, :n] = True
+            graph_mask[slot] = True
+            energy[slot] = rec.energy
+            forces[slot, :n] = rec.forces
+            mol_id[slot] = self.records.ids[indices[slot]]
+            ham[slot, :no, :no] = rec.hamiltonian
+            if over is not None:
+                over[slot, :no, :no] = rec.overlap
+            if core is not None:
+                core[slot, :no, :no] = rec.core
+            orb_mask[slot, :no] = True
+        return MolBatch(
+            z=z, pos=pos, node_mask=node_mask, graph_mask=graph_mask,
+            energy=energy, forces=forces, mol_id=mol_id,
+            hamiltonian=ham, overlap=over, core=core, orb_mask=orb_mask,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Splits
+# ---------------------------------------------------------------------------
+
+
+def seeded_random_split(
+    n: int, fractions: Sequence[float], seed: int = 42
+) -> List[np.ndarray]:
+    """Deterministic index split (reference: seeded generator random_split,
+    nablaDFT_dataset.py:223-287, hamiltonian_dataset.py:408)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    sizes = [int(round(f * n)) for f in fractions]
+    sizes[-1] = n - sum(sizes[:-1])
+    out, start = [], 0
+    for s in sizes:
+        out.append(np.sort(perm[start : start + s]))
+        start += s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Loader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LoaderConfig:
+    batch_size: int = 32
+    shuffle: bool = True
+    seed: int = 0
+    drop_last: bool = False
+    prefetch: int = 2  # batches queued ahead on the background thread
+
+
+class BucketedLoader:
+    """Iterates fixed-shape MolBatches, grouped by bucket.
+
+    Each epoch: indices are shuffled within their bucket, chunked into
+    batches, and the per-bucket batch streams are interleaved in a
+    deterministic shuffled order (so each compiled program is revisited in
+    large runs, amortizing compilation).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        indices: Optional[np.ndarray] = None,
+        config: LoaderConfig = LoaderConfig(),
+    ):
+        self.dataset = dataset
+        self.config = config
+        all_idx = np.arange(len(dataset)) if indices is None else np.asarray(indices)
+        bucket_of = dataset.bucket_of[all_idx]
+        self.by_bucket: Dict[int, np.ndarray] = {}
+        for bid in np.unique(bucket_of):
+            if bid < 0:
+                continue
+            self.by_bucket[int(bid)] = all_idx[bucket_of == bid]
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        bs = self.config.batch_size
+        total = 0
+        for idx in self.by_bucket.values():
+            total += (len(idx) // bs) if self.config.drop_last else -(-len(idx) // bs)
+        return total
+
+    def _epoch_plan(self) -> List[Tuple[int, np.ndarray]]:
+        rng = np.random.default_rng(self.config.seed + self._epoch)
+        bs = self.config.batch_size
+        plan: List[Tuple[int, np.ndarray]] = []
+        for bid, idx in sorted(self.by_bucket.items()):
+            idx = rng.permutation(idx) if self.config.shuffle else idx
+            n_full = len(idx) // bs
+            for i in range(n_full):
+                plan.append((bid, idx[i * bs : (i + 1) * bs]))
+            if not self.config.drop_last and len(idx) % bs:
+                plan.append((bid, idx[n_full * bs :]))
+        if self.config.shuffle:
+            order = rng.permutation(len(plan))
+            plan = [plan[i] for i in order]
+        return plan
+
+    def _collate(self, bid: int, chunk: np.ndarray) -> MolBatch:
+        if isinstance(self.dataset, HamiltonianDataset):
+            return self.dataset.collate(chunk, self.config.batch_size, bid)
+        max_atoms = self.dataset.bucket_boundaries[bid]
+        return collate_energy(
+            self.dataset.records, chunk, self.config.batch_size, max_atoms
+        )
+
+    def __iter__(self) -> Iterator[MolBatch]:
+        plan = self._epoch_plan()
+        self._epoch += 1
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.config.prefetch))
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for bid, chunk in plan:
+                    if stop.is_set():
+                        return
+                    q.put(self._collate(bid, chunk))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+class DataModule:
+    """train/val/test loaders over one dataset with a seeded split.
+
+    Mirrors the reference's PyGDataModule surface (nablaDFT_dataset.py:223):
+    `train_dataloader()/val_dataloader()/test_dataloader()/predict_dataloader()`.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        val_fraction: float = 0.1,
+        seed: int = 42,
+        test_dataset=None,
+    ):
+        self.dataset = dataset
+        self.test_dataset = test_dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        if val_fraction > 0:
+            self.train_idx, self.val_idx = seeded_random_split(
+                len(dataset), [1.0 - val_fraction, val_fraction], seed
+            )
+        else:
+            self.train_idx, self.val_idx = np.arange(len(dataset)), np.array([], np.int64)
+
+    def train_dataloader(self) -> BucketedLoader:
+        return BucketedLoader(
+            self.dataset, self.train_idx,
+            LoaderConfig(batch_size=self.batch_size, shuffle=True, seed=self.seed),
+        )
+
+    def val_dataloader(self) -> BucketedLoader:
+        return BucketedLoader(
+            self.dataset, self.val_idx,
+            LoaderConfig(batch_size=self.batch_size, shuffle=False),
+        )
+
+    def test_dataloader(self) -> BucketedLoader:
+        ds = self.test_dataset or self.dataset
+        return BucketedLoader(
+            ds, None, LoaderConfig(batch_size=self.batch_size, shuffle=False)
+        )
+
+    predict_dataloader = test_dataloader

@@ -1,0 +1,185 @@
+"""On-device molecular graph construction over padded batches.
+
+Replaces the reference's per-model CUDA `radius_graph` calls
+(torch_cluster; painn_pyg/utils.py:318 `radius_graph_pbc`, qhnet.py:258,
+escn.py) and its strict max-neighbor capping
+(painn_pyg/utils.py:223-317 `enforce_max_neighbors_strictly` top-k
+semantics) with fixed-shape, mask-based constructions that XLA can fuse:
+
+  * molecules here are ≤ 62 atoms (nablaDFT README.md:63-64), so the
+    all-pairs O(A²) distance matrix is tiny — computing it densely each step
+    on device is far cheaper than a host neighbor search + transfer;
+  * neighbor lists have a **static budget K**: the K nearest in-cutoff
+    neighbors per atom, exactly the reference's strict top-k semantics;
+  * everything returns masks instead of ragged sizes.
+
+Two graph views, both derived from the same distance matrix:
+  dense view   — adjacency [B,A,A] for models that operate all-pairs
+                 (Graphormer3D dense attention, QHNet pair blocks);
+  neighbor view— `NeighborList` with idx/mask [B,A,K] for message-passing
+                 models; triplet (and quadruplet) structure is built by
+                 composing gathers over it, never by host-side index
+                 construction (contrast gemnet_oc/interaction_indices.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+_BIG = 1e10
+
+
+class DenseGraph(NamedTuple):
+    """All-pairs view. diff[b,i,j] = pos[j] - pos[i]."""
+
+    diff: jnp.ndarray  # [B, A, A, 3]
+    dist: jnp.ndarray  # [B, A, A]   (= _BIG on masked pairs)
+    adj: jnp.ndarray  # [B, A, A] bool: within cutoff, i != j, both real
+
+
+class NeighborList(NamedTuple):
+    """Fixed-K nearest-neighbor view. Neighbor n of atom i is j = idx[b,i,n]."""
+
+    idx: jnp.ndarray  # [B, A, K] int32 (clipped to valid range where masked)
+    mask: jnp.ndarray  # [B, A, K] bool
+    diff: jnp.ndarray  # [B, A, K, 3]  pos[j] - pos[i]
+    dist: jnp.ndarray  # [B, A, K]
+    unit: jnp.ndarray  # [B, A, K, 3]  normalized diff (0 where masked)
+
+
+def pairwise(pos: jnp.ndarray, node_mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pairwise displacement/distance with padding masked out.
+
+    Returns (diff [B,A,A,3], dist [B,A,A], pair_mask [B,A,A]) where
+    pair_mask excludes self-pairs and any pair touching a padded atom.
+    Masked entries of dist are _BIG (not 0) so top-k ordering is trivial.
+    """
+    diff = pos[:, None, :, :] - pos[:, :, None, :]
+    a = pos.shape[1]
+    eye = jnp.eye(a, dtype=bool)
+    pair_mask = node_mask[:, :, None] & node_mask[:, None, :] & ~eye
+    d2 = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, _EPS))
+    dist = jnp.where(pair_mask, dist, _BIG)
+    return diff, dist, pair_mask
+
+
+def dense_graph(pos: jnp.ndarray, node_mask: jnp.ndarray, cutoff: float) -> DenseGraph:
+    diff, dist, pair_mask = pairwise(pos, node_mask)
+    adj = pair_mask & (dist < cutoff)
+    return DenseGraph(diff=diff, dist=dist, adj=adj)
+
+
+def neighbor_list(
+    pos: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    cutoff: float,
+    max_neighbors: int,
+) -> NeighborList:
+    """K-nearest in-cutoff neighbors per atom (strict top-k by distance).
+
+    Reference parity: painn_pyg/utils.py:223-317 keeps, per atom, the
+    `max_neighbors` *closest* neighbors when the cutoff yields more — here
+    that is a single `lax.top_k` over the masked distance row.
+    """
+    g = dense_graph(pos, node_mask, cutoff)
+    k = min(max_neighbors, pos.shape[1])
+    # top_k of negative distance = k smallest; masked pairs hold _BIG.
+    neg = jnp.where(g.adj, -g.dist, -_BIG)
+    vals, idx = jax.lax.top_k(neg, k)  # [B, A, K]
+    mask = vals > -_BIG * 0.5
+    idx = idx.astype(jnp.int32)
+    diff = jnp.take_along_axis(g.diff, idx[..., None], axis=2)  # [B,A,K,3]
+    dist = jnp.where(mask, -vals, 0.0)
+    unit = diff / jnp.maximum(dist, _EPS)[..., None]
+    unit = jnp.where(mask[..., None], unit, 0.0)
+    diff = jnp.where(mask[..., None], diff, 0.0)
+    return NeighborList(idx=idx, mask=mask, diff=diff, dist=dist, unit=unit)
+
+
+def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-node features at neighbor indices.
+
+    x: [B, A, ...feat], idx: [B, A, K]  ->  [B, A, K, ...feat]
+    """
+    b, a = idx.shape[0], idx.shape[1]
+    feat_shape = x.shape[2:]
+    flat_idx = idx.reshape(b, -1)  # [B, A*K]
+    out = jnp.take_along_axis(
+        x.reshape(b, a, -1), flat_idx[..., None], axis=1
+    )  # [B, A*K, F]
+    return out.reshape(b, a, idx.shape[2], *feat_shape)
+
+
+def scatter_to_nodes(
+    edge_vals: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray, num_nodes: int
+) -> jnp.ndarray:
+    """Sum per-edge values onto the *sender* node j = idx[b,i,n].
+
+    edge_vals: [B, A, K, F] -> [B, num_nodes, F].
+    (Aggregation onto the receiver i is just a masked sum over axis 2 and
+    needs no scatter.) Implemented as one one-hot matmul per batch — an
+    [A*K, A] × [A*K, F] contraction that XLA places on the MXU, which beats
+    serialized scatter-adds for these sizes.
+    """
+    b, a, k = idx.shape
+    f = edge_vals.shape[-1]
+    flat_idx = idx.reshape(b, a * k)
+    flat_val = jnp.where(mask[..., None], edge_vals, 0.0).reshape(b, a * k, f)
+    onehot = jax.nn.one_hot(flat_idx, num_nodes, dtype=edge_vals.dtype)  # [B,AK,N]
+    return jnp.einsum("ben,bef->bnf", onehot, flat_val)
+
+
+def gather_neighbor_edges(edge_feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """For each edge (j→i) fetch the feature rows of all edges into j.
+
+    edge_feat: [B, A, K, F] (feature of edge (idx[b,i,n] → i) stored at
+    [b,i,n]);  returns [B, A, K, K, F] where out[b,i,n,m] = the feature of
+    edge (idx[b,j,m] → j) with j = idx[b,i,n]. This is the triplet gather
+    used by DimeNet++/GemNet-OC in place of host-built triplet id arrays
+    (reference gemnet_oc/interaction_indices.py:13-164).
+    """
+    b, a, k = idx.shape
+    feat = edge_feat.reshape(b, a, -1)  # [B, A, K*F]
+    gathered = jnp.take_along_axis(feat, idx.reshape(b, -1)[..., None], axis=1)
+    return gathered.reshape(b, a, k, k, *edge_feat.shape[3:])
+
+
+def triplet_angles(nl: NeighborList) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Angles for triplets k→j→i over the fixed-K neighbor list.
+
+    For edge e1 = (j→i) at [b,i,n] and each edge e2 = (k→j) at [b,j,m]:
+      angle(b,i,n,m) = angle between vectors (pos_j→pos_i) and (pos_j→pos_k).
+    Returns (cos_angle [B,A,K,K], trip_mask [B,A,K,K]); trip_mask excludes
+    masked edges and the back-edge k == i (DimeNet convention,
+    torch_geometric DimeNetPlusPlus triplets()).
+    """
+    b, a, k = nl.idx.shape
+    # vector j→i for edge (j→i) stored at [b,i,n] is -diff[b,i,n]
+    v_ji = -nl.unit  # [B,A,K,3] unit vector from j to i
+    # for each (i,n): neighbor rows of j = idx[b,i,n]
+    u_jk = gather_nodes(nl.unit, nl.idx)  # [B,A,K,K,3]: unit j→k for k=idx[j,m]
+    cos = jnp.einsum("bikc,bikmc->bikm", v_ji, u_jk)
+    cos = jnp.clip(cos, -1.0, 1.0)
+    # mask: edge (j→i) valid, edge (k→j) valid, and k != i
+    e2_mask = gather_nodes(nl.mask, nl.idx)  # [B,A,K,K]
+    k_idx = gather_nodes(nl.idx, nl.idx)  # [B,A,K,K] node index of k
+    i_idx = jnp.arange(a, dtype=nl.idx.dtype)[None, :, None, None]
+    trip_mask = nl.mask[..., None] & e2_mask & (k_idx != i_idx)
+    return cos, trip_mask
+
+
+def edge_rotation_vectors(
+    unit: jnp.ndarray, mask: jnp.ndarray, key: Optional[jax.Array] = None
+) -> jnp.ndarray:
+    """Stable per-edge frame: returns unit vectors with masked rows -> ẑ.
+
+    Downstream SO(3)→SO(2) edge alignment (eSCN/EquiformerV2) builds Wigner
+    rotations from these; padding edges get the identity-friendly ẑ.
+    """
+    zhat = jnp.zeros_like(unit).at[..., 2].set(1.0)
+    return jnp.where(mask[..., None], unit, zhat)
