@@ -1,0 +1,93 @@
+"""Headline benchmark: PaiNN training throughput (conformers/sec/chip).
+
+Matches BASELINE.json's north-star metric: per-chip PaiNN (128 hidden, 6
+interactions, energy + derivative forces) training throughput on
+nablaDFT-sized molecules (~40 atoms padded to 48). The baseline constant is
+the reference stack's measured ballpark on one A100 (PyTorch + torch-scatter
+PaiNN with autograd forces at batch 100: ~8e2 conformers/s); BASELINE.json
+asks for >=5x that per TPU chip, i.e. vs_baseline >= 5.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+A100_REFERENCE_CONFORMERS_PER_SEC = 800.0
+
+BATCH = 256
+MAX_ATOMS = 48
+STEPS = 20
+WARMUP = 3
+
+
+def make_batch(rng):
+    from nabladft_tpu.data.batch import MolBatch
+
+    z = np.zeros((BATCH, MAX_ATOMS), np.int32)
+    pos = np.zeros((BATCH, MAX_ATOMS, 3), np.float32)
+    node_mask = np.zeros((BATCH, MAX_ATOMS), bool)
+    for i in range(BATCH):
+        n = int(rng.integers(30, MAX_ATOMS + 1))
+        z[i, :n] = rng.integers(1, 17, n)
+        pos[i, :n] = rng.uniform(-5, 5, (n, 3))
+        node_mask[i, :n] = True
+    return MolBatch(
+        z=z, pos=pos, node_mask=node_mask,
+        graph_mask=np.ones((BATCH,), bool),
+        energy=rng.normal(size=(BATCH,)).astype(np.float32),
+        forces=rng.normal(size=(BATCH, MAX_ATOMS, 3)).astype(np.float32)
+        * node_mask[..., None],
+        mol_id=np.arange(BATCH, dtype=np.int32),
+    )
+
+
+def main() -> None:
+    from nabladft_tpu.models import create_model
+    from nabladft_tpu.train import Trainer, TrainerConfig
+
+    n_chips = len(jax.devices())
+    model = create_model(
+        "painn", hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0, max_neighbors=40
+    )
+    cfg = TrainerConfig(
+        schedule="constant", lr=1e-4, log_every_n_steps=10**9,
+        loss_specs={"energy": "l1", "forces": "l2norm"},
+        loss_coefs={"energy": 1.0, "forces": 1.0},
+    )
+    trainer = Trainer(model, cfg)
+    batch = make_batch(np.random.default_rng(0))
+    trainer.init_state(batch)
+
+    state = trainer.state
+    for _ in range(WARMUP):
+        state, metrics = trainer._jit_train_step(state, batch)
+    jax.block_until_ready(metrics["train/total"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = trainer._jit_train_step(state, batch)
+    jax.block_until_ready(metrics["train/total"])
+    dt = time.perf_counter() - t0
+
+    conf_per_sec = BATCH * STEPS / dt
+    per_chip = conf_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "painn_train_conformers_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "conformers/s/chip",
+                "vs_baseline": round(per_chip / A100_REFERENCE_CONFORMERS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Model zoo: NNPs and Hamiltonian predictors as jit-compiled flax modules."""
+
+from nabladft_tpu.models.base import (  # noqa: F401
+    MODEL_REGISTRY,
+    create_model,
+    forward,
+    register_model,
+)
+from nabladft_tpu.models.painn import PaiNN  # noqa: F401
+from nabladft_tpu.models.schnet import SchNet  # noqa: F401

@@ -1,0 +1,174 @@
+"""DimeNet++: directional message passing with triplet angular bases.
+
+Reimplements what the reference composes from
+`torch_geometric.nn.models.DimeNetPlusPlus` plus its potential wrapper
+(nablaDFT/dimenetplusplus/dimenetplusplus.py:22-116: per-graph latent →
+swish MLP head → scaler postprocessing, forces via autograd).
+
+TPU design: edge messages live on the fixed-K neighbor axis
+([B, A, K, H]); the triplet aggregation k→j→i is a gather over the
+neighbor list (`ops.graph.gather_neighbor_edges`) followed by a masked
+contraction over the second neighbor axis — the [B,A,K,K,·] intermediate is
+produced and consumed inside one fused XLA loop instead of the reference's
+host-precomputed triplet index arrays. Interaction blocks are wrapped in
+`jax.checkpoint` to keep the double-backward (forces) memory bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models.base import ModelOutput, register_model
+from nabladft_tpu.ops import graph
+from nabladft_tpu.ops.segment import masked_sum
+from nabladft_tpu.ops.spherical import (
+    bessel_radial_basis_with_envelope,
+    dimenet_spherical_basis,
+)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class ResidualLayer(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = swish(nn.Dense(self.hidden)(x))
+        h = swish(nn.Dense(self.hidden)(h))
+        return x + h
+
+
+class InteractionPPBlock(nn.Module):
+    hidden: int
+    int_emb_size: int
+    basis_emb_size: int
+    num_before_skip: int
+    num_after_skip: int
+
+    @nn.compact
+    def __call__(self, m, rbf, sbf, nl: graph.NeighborList, trip_mask):
+        # m: [B,A,K,H] message of edge (j->i); rbf: [B,A,K,R]; sbf: [B,A,K,K,S*R]
+        x_ji = swish(nn.Dense(self.hidden)(m))
+        x_kj = swish(nn.Dense(self.hidden)(m))
+        rbf_w = nn.Dense(self.hidden, use_bias=False)(
+            nn.Dense(self.basis_emb_size, use_bias=False)(rbf)
+        )
+        x_kj = x_kj * rbf_w
+        x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False)(x_kj))
+        # gather messages of edges (k->j) for each edge (j->i)
+        t = graph.gather_neighbor_edges(x_kj, nl.idx)  # [B,A,K,K,E]
+        sbf_w = nn.Dense(self.int_emb_size, use_bias=False)(
+            nn.Dense(self.basis_emb_size, use_bias=False)(sbf)
+        )
+        agg = jnp.sum(
+            jnp.where(trip_mask[..., None], t * sbf_w, 0.0), axis=3
+        )  # [B,A,K,E]
+        x_kj = swish(nn.Dense(self.hidden, use_bias=False)(agg))
+
+        h = x_ji + x_kj
+        for _ in range(self.num_before_skip):
+            h = ResidualLayer(self.hidden)(h)
+        h = swish(nn.Dense(self.hidden)(h)) + m
+        for _ in range(self.num_after_skip):
+            h = ResidualLayer(self.hidden)(h)
+        return h
+
+
+class OutputPPBlock(nn.Module):
+    hidden: int
+    out_emb_channels: int
+    out_channels: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, m, rbf, nl: graph.NeighborList):
+        g = nn.Dense(self.hidden, use_bias=False)(rbf) * m  # [B,A,K,H]
+        x = masked_sum(g, nl.mask, axis=2)  # [B,A,H] aggregate to receiver i
+        x = nn.Dense(self.out_emb_channels, use_bias=False)(x)
+        for _ in range(self.num_layers):
+            x = swish(nn.Dense(self.out_emb_channels)(x))
+        return nn.Dense(self.out_channels, use_bias=False)(x)
+
+
+@register_model("dimenetpp")
+class DimeNetPP(nn.Module):
+    """Defaults follow reference config/model/dimenetplusplus.yaml."""
+
+    node_latent_dim: int = 50
+    hidden: int = 256
+    num_blocks: int = 6
+    int_emb_size: int = 64
+    basis_emb_size: int = 8
+    out_emb_channels: int = 256
+    num_spherical: int = 7
+    num_radial: int = 6
+    max_neighbors: int = 32
+    envelope_exponent: int = 5
+    num_before_skip: int = 1
+    num_after_skip: int = 2
+    num_output_layers: int = 3
+    cutoff: float = 5.0
+    num_elements: int = 100
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
+    remat: bool = True
+
+    derivative_forces = True
+
+    @nn.compact
+    def __call__(self, batch: MolBatch) -> ModelOutput:
+        nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
+        rbf = bessel_radial_basis_with_envelope(
+            nl.dist, self.num_radial, self.cutoff, self.envelope_exponent
+        )
+        cos_angle, trip_mask = graph.triplet_angles(nl)
+        d_kj = graph.gather_nodes(nl.dist, nl.idx)  # [B,A,K,K]
+        sbf = dimenet_spherical_basis(
+            d_kj, cos_angle, self.num_spherical, self.num_radial, self.cutoff,
+            self.envelope_exponent,
+        )
+        sbf = jnp.where(trip_mask[..., None], sbf, 0.0)
+        rbf = jnp.where(nl.mask[..., None], rbf, 0.0)
+
+        # embedding block
+        x = nn.Embed(self.num_elements, self.hidden, name="atom_embedding")(batch.z)
+        x_j = graph.gather_nodes(x, nl.idx)
+        x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
+        rbf_emb = swish(nn.Dense(self.hidden, name="rbf_embed")(rbf))
+        m = swish(
+            nn.Dense(self.hidden, name="edge_embed")(
+                jnp.concatenate([x_i, x_j, rbf_emb], axis=-1)
+            )
+        )
+
+        p = OutputPPBlock(
+            self.hidden, self.out_emb_channels, self.node_latent_dim,
+            self.num_output_layers, name="output_0",
+        )(m, rbf, nl)
+        block_cls = nn.remat(InteractionPPBlock) if self.remat else InteractionPPBlock
+        for b in range(self.num_blocks):
+            m = block_cls(
+                self.hidden, self.int_emb_size, self.basis_emb_size,
+                self.num_before_skip, self.num_after_skip, name=f"interaction_{b}",
+            )(m, rbf, sbf, nl, trip_mask)
+            p = p + OutputPPBlock(
+                self.hidden, self.out_emb_channels, self.node_latent_dim,
+                self.num_output_layers, name=f"output_{b + 1}",
+            )(m, rbf, nl)
+
+        # per-graph latent -> swish MLP head (reference dimenetplusplus.py:83-91)
+        latent = masked_sum(p, batch.node_mask, axis=1)  # [B, latent]
+        h = swish(nn.Dense(self.node_latent_dim)(latent))
+        h = swish(nn.Dense(self.node_latent_dim // 2)(h))
+        h = swish(nn.Dense(self.node_latent_dim // 2)(h))
+        energy = nn.Dense(1)(h)[..., 0]
+        energy = energy * self.energy_std + self.energy_mean
+        return {"energy": energy}

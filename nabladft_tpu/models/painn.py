@@ -1,0 +1,144 @@
+"""PaiNN: polarizable atom interaction NN (scalar + vector features).
+
+Covers both reference flavors with one module:
+  * schnetpack PaiNN (config/model/painn.yaml: Gaussian RBF 100, cosine
+    cutoff 5.0, 6 interactions, 128 channels) — ``rbf="gaussian"``,
+    ``envelope="cosine"``;
+  * painn_pyg "PAINN-OC" (config/model/painn-oc.yaml + painn_pyg/painn.py:22:
+    Gaussian RBF, polynomial envelope p=5, max_neighbors cap) —
+    ``envelope="polynomial"``.
+
+TPU-native formulation: nablaDFT molecules are ≤ 62 atoms, so messages are
+computed over the **dense pair axis** [B, A, A] instead of gather/scatter
+edge lists (reference painn_pyg uses torch_cluster radius_graph + scatter,
+painn.py:115-128). Every aggregation is then a plain einsum contraction over
+the sender axis — batched MXU matmuls with no gathered [B,A,K,3,F]
+intermediates, which is both faster and what keeps the force
+double-backward inside HBM at production batch sizes. The reference's
+max-neighbor capping (painn_pyg/utils.py:223) becomes a top-k mask on the
+dense distance matrix.
+
+State: scalars s [B,A,F] and equivariant vectors v [B,A,3,F]. Equivariance
+is kept by never applying bias or nonlinearity to the vector channel.
+Forces are -∂E/∂pos (reference painn.py:130-146 autograd semantics).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models.base import MLP, ModelOutput, register_model
+from nabladft_tpu.ops import graph, radial
+from nabladft_tpu.ops.segment import masked_sum
+
+
+def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Restrict a dense adjacency to each row's k nearest neighbors."""
+    a = dist.shape[-1]
+    if k >= a:
+        return adj
+    neg = jnp.where(adj, -dist, -jnp.inf)
+    kth = jax.lax.top_k(neg, k)[0][..., -1:]  # [B,A,1] k-th smallest distance
+    return adj & (dist <= -kth + 1e-7)
+
+
+class PaiNNMessage(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, s, v, adj, rbf_env, unit):
+        f = self.hidden
+        phi = MLP([f, 3 * f])(s)  # [B,A,3F] (node-level, cheap)
+        phi1, phi2, phi3 = jnp.split(phi, 3, axis=-1)
+        mask = adj[..., None]
+        # three F-wide filter streams on the enveloped RBF; each message
+        # tensor is [B,A,A,F] and is consumed by one einsum contraction
+        m1 = jnp.where(mask, nn.Dense(f, name="w_s")(rbf_env) * phi1[:, None], 0.0)
+        ds = m1.sum(axis=2)
+        m2 = jnp.where(mask, nn.Dense(f, name="w_vv")(rbf_env) * phi2[:, None], 0.0)
+        dv = jnp.einsum("bijf,bjvf->bivf", m2, v)
+        m3 = jnp.where(mask, nn.Dense(f, name="w_vs")(rbf_env) * phi3[:, None], 0.0)
+        dv = dv + jnp.einsum("bijv,bijf->bivf", unit, m3)
+        return ds, dv
+
+
+class PaiNNUpdate(nn.Module):
+    hidden: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, s, v):
+        f = self.hidden
+        # channel mixes of the vector features (no bias: equivariance)
+        u = nn.Dense(f, use_bias=False)(v)  # [B,A,3,F]
+        vv = nn.Dense(f, use_bias=False)(v)
+        vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=-2) + self.eps)  # [B,A,F]
+        gates = MLP([f, 3 * f])(jnp.concatenate([s, vv_norm], axis=-1))
+        a_vv, a_sv, a_ss = jnp.split(gates, 3, axis=-1)
+        dv = u * a_vv[:, :, None, :]
+        dot = jnp.sum(u * vv, axis=-2)  # [B,A,F]
+        ds = a_ss + a_sv * dot
+        return ds, dv
+
+
+class PaiNNLayer(nn.Module):
+    """One message+update interaction (remat unit)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, s, v, adj, rbf_env, unit):
+        ds, dv = PaiNNMessage(self.hidden, name="message")(s, v, adj, rbf_env, unit)
+        s, v = s + ds, v + dv
+        ds, dv = PaiNNUpdate(self.hidden, name="update")(s, v)
+        return s + ds, v + dv
+
+
+@register_model("painn")
+class PaiNN(nn.Module):
+    hidden: int = 128
+    n_interactions: int = 6
+    n_rbf: int = 100
+    cutoff: float = 5.0
+    max_neighbors: int = 63
+    num_elements: int = 100
+    rbf: str = "gaussian"  # gaussian | bessel
+    envelope: str = "polynomial"  # polynomial | cosine
+    envelope_exponent: int = 5
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
+    remat: bool = True
+
+    derivative_forces = True
+
+    @nn.compact
+    def __call__(self, batch: MolBatch) -> ModelOutput:
+        f = self.hidden
+        dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+        adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
+        dist = jnp.where(adj, dg.dist, 0.0)
+        unit = jnp.where(adj[..., None], dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0)
+        if self.rbf == "gaussian":
+            rbf = radial.gaussian_rbf(dist, self.n_rbf, self.cutoff)
+        else:
+            rbf = radial.bessel_rbf(dist, self.n_rbf, self.cutoff)
+        if self.envelope == "polynomial":
+            env = radial.polynomial_envelope(dist / self.cutoff, self.envelope_exponent)
+        else:
+            env = radial.cosine_cutoff(dist, self.cutoff)
+        rbf_env = jnp.where(adj[..., None], rbf * env[..., None], 0.0)  # [B,A,A,R]
+
+        s = nn.Embed(self.num_elements, f, name="atom_embedding")(batch.z)
+        v = jnp.zeros((*s.shape[:2], 3, f), s.dtype)
+
+        layer_cls = nn.remat(PaiNNLayer) if self.remat else PaiNNLayer
+        for i in range(self.n_interactions):
+            s, v = layer_cls(f, name=f"layer_{i}")(s, v, adj, rbf_env, unit)
+
+        e_atom = MLP([f // 2, 1], name="energy_head")(s)[..., 0]
+        e_atom = e_atom * self.energy_std + self.energy_mean
+        energy = masked_sum(e_atom, batch.node_mask, axis=1)
+        return {"energy": energy}

@@ -1,0 +1,80 @@
+"""SchNet: continuous-filter convolutions over padded molecular graphs.
+
+TPU-native reimplementation of the architecture the reference composes from
+schnetpack (config/model/schnet.yaml: 6 interactions, 128 atom basis,
+GaussianRBF(100), CosineCutoff(5.0), Atomwise energy head + derivative
+forces + AddOffsets postprocessor).
+
+Design: the neighbor dimension is a static K axis; the continuous-filter
+convolution is an elementwise product on [B, A, K, F] followed by a masked
+sum over K — XLA fuses the RBF → filter-MLP → gather → multiply → reduce
+chain into a handful of MXU/VPU kernels, nothing is scatter-bound.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from nabladft_tpu.data.atomref import atomrefs_for
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models.base import MLP, ModelOutput, register_model, shifted_softplus
+from nabladft_tpu.ops import graph, radial
+from nabladft_tpu.ops.segment import masked_sum
+
+
+class SchNetInteraction(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, nl: graph.NeighborList, filters) -> jnp.ndarray:
+        # in2f -> gather neighbors -> filter product -> aggregate -> f2out
+        xin = nn.Dense(self.hidden, use_bias=False)(x)  # [B,A,F]
+        xj = graph.gather_nodes(xin, nl.idx)  # [B,A,K,F]
+        msg = masked_sum(xj * filters, nl.mask, axis=2)  # [B,A,F]
+        out = nn.Dense(self.hidden)(msg)
+        out = shifted_softplus(out)
+        out = nn.Dense(self.hidden)(out)
+        return out
+
+
+@register_model("schnet")
+class SchNet(nn.Module):
+    """Energy head; forces by -∂E/∂pos (derivative_forces)."""
+
+    hidden: int = 128
+    n_interactions: int = 6
+    n_rbf: int = 100
+    cutoff: float = 5.0
+    max_neighbors: int = 63
+    num_elements: int = 100
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
+    use_atomrefs: bool = False
+
+    derivative_forces = True
+
+    @nn.compact
+    def __call__(self, batch: MolBatch) -> ModelOutput:
+        nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
+        rbf = radial.gaussian_rbf(nl.dist, self.n_rbf, self.cutoff)  # [B,A,K,R]
+        fcut = radial.cosine_cutoff(nl.dist, self.cutoff)  # [B,A,K]
+
+        # filter network shared structure per interaction (schnetpack keeps
+        # one filter net per interaction block)
+        x = nn.Embed(self.num_elements, self.hidden, name="atom_embedding")(batch.z)
+        for i in range(self.n_interactions):
+            w = nn.Dense(self.hidden, name=f"filter_{i}_0")(rbf)
+            w = shifted_softplus(w)
+            w = nn.Dense(self.hidden, name=f"filter_{i}_1")(w)
+            w = w * fcut[..., None]
+            x = x + SchNetInteraction(self.hidden, name=f"interaction_{i}")(x, nl, w)
+
+        e_atom = MLP([self.hidden // 2, 1], activation=shifted_softplus, name="atomwise")(x)
+        e_atom = e_atom[..., 0] * self.energy_std + self.energy_mean
+        if self.use_atomrefs:
+            refs = jnp.asarray(atomrefs_for(self.num_elements), jnp.float32)
+            e_atom = e_atom + refs[batch.z]
+        energy = masked_sum(e_atom, batch.node_mask, axis=1)
+        return {"energy": energy}

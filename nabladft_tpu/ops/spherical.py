@@ -1,0 +1,154 @@
+"""Spherical/angular bases: Legendre, spherical Bessel, real spherical
+harmonics.
+
+Sympy-free reimplementation of the angular machinery the reference gets
+from torch_geometric's DimeNet codegen and e3nn: everything is a stable
+recurrence evaluated in-graph, with host-side numpy precompute for Bessel
+zeros. Used by DimeNet++ (spherical basis), GemNet-OC (circular/spherical
+bases) and, through `ops.so3`, by the equivariant models.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Legendre polynomials P_l(x)  (angular part of Y_l0)
+# ---------------------------------------------------------------------------
+
+
+def legendre_polynomials(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """P_0..P_{l_max} via the stable three-term recurrence. [..., L+1]."""
+    outs = [jnp.ones_like(x)]
+    if l_max >= 1:
+        outs.append(x)
+    for l in range(2, l_max + 1):
+        outs.append(((2 * l - 1) * x * outs[l - 1] - (l - 1) * outs[l - 2]) / l)
+    return jnp.stack(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Spherical Bessel functions j_l(x) and their zeros
+# ---------------------------------------------------------------------------
+
+
+def spherical_bessel_jl(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """j_0..j_{l_max}(x) by upward recurrence, guarded near x=0.
+
+    Upward recurrence loses accuracy for x << l, but there j_l ≈ 0 and the
+    basis values are multiplied by an envelope that keeps products finite;
+    we clamp x away from 0 and zero-out the unstable region explicitly
+    (|j_l| <= 1 always, so clipping is safe).
+    """
+    x_safe = jnp.maximum(x, 1e-6)
+    j0 = jnp.sin(x_safe) / x_safe
+    outs = [j0]
+    if l_max >= 1:
+        outs.append(jnp.sin(x_safe) / x_safe**2 - jnp.cos(x_safe) / x_safe)
+    for l in range(2, l_max + 1):
+        outs.append((2 * l - 1) / x_safe * outs[l - 1] - outs[l - 2])
+    stacked = jnp.stack(outs, axis=-1)
+    return jnp.clip(stacked, -1.0, 1.0)
+
+
+@lru_cache(maxsize=None)
+def spherical_bessel_zeros(l_max: int, n_zeros: int) -> Tuple[Tuple[float, ...], ...]:
+    """First n zeros of j_l for l=0..l_max (host-side bisection, cached)."""
+
+    def jl(x: np.ndarray, l: int) -> np.ndarray:
+        x = np.maximum(x, 1e-12)
+        j = [np.sin(x) / x, np.sin(x) / x**2 - np.cos(x) / x]
+        for ll in range(2, l + 1):
+            j.append((2 * ll - 1) / x * j[ll - 1] - j[ll - 2])
+        return j[l]
+
+    out = []
+    for l in range(l_max + 1):
+        xs = np.linspace(1e-3, (n_zeros + l + 2) * np.pi, 200000)
+        vals = jl(xs, l)
+        sign = np.signbit(vals)
+        crossings = np.nonzero(sign[1:] != sign[:-1])[0]
+        zeros = []
+        for c in crossings[:n_zeros]:
+            lo, hi = xs[c], xs[c + 1]
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                if np.signbit(jl(np.asarray([mid]), l))[0] == np.signbit(
+                    jl(np.asarray([lo]), l)
+                )[0]:
+                    lo = mid
+                else:
+                    hi = mid
+            zeros.append(0.5 * (lo + hi))
+        out.append(tuple(zeros))
+    return tuple(out)
+
+
+def dimenet_spherical_basis(
+    d: jnp.ndarray,
+    cos_angle: jnp.ndarray,
+    num_spherical: int,
+    num_radial: int,
+    cutoff: float,
+    envelope_exponent: int = 5,
+) -> jnp.ndarray:
+    """DimeNet a_SBF(d, α): j_l(z_ln d/c) · Y_l0(α) · envelope(d/c).
+
+    d is the distance of the k→j edge, cos_angle the k→j→i angle
+    (torch_geometric SphericalBasisLayer semantics). Returns
+    [..., num_spherical * num_radial], fastest index = radial.
+    """
+    from nabladft_tpu.ops.radial import polynomial_envelope
+
+    l_max = num_spherical - 1
+    zeros = np.asarray(spherical_bessel_zeros(l_max, num_radial))  # [L+1, R]
+    d_scaled = d / cutoff
+    x = d_scaled[..., None, None] * zeros  # [..., L+1, R]
+    jl_all = spherical_bessel_jl(x.reshape(*x.shape[:-2], -1), l_max)
+    # jl_all: [..., (L+1)*R, L+1]; keep j_l at the zeros of the same l
+    jl_all = jl_all.reshape(*x.shape[:-2], l_max + 1, num_radial, l_max + 1)
+    radial = jnp.stack(
+        [jl_all[..., l, :, l] for l in range(l_max + 1)], axis=-2
+    )  # [..., L+1, R]
+    # normalization sqrt(2 / (c^3 j_{l+1}(z_ln)^2))
+    zeros_t = zeros
+    jlp1 = np.stack(
+        [
+            _np_jl(zeros_t[l], l + 1)
+            for l in range(l_max + 1)
+        ]
+    )  # [L+1, R]
+    norm = np.sqrt(2.0 / (cutoff**3 * jlp1**2))
+    radial = radial * norm
+    env = polynomial_envelope(d_scaled, envelope_exponent)
+    radial = radial * env[..., None, None]
+    # angular: Y_l0(α) ∝ sqrt((2l+1)/4π) P_l(cos α)
+    pl = legendre_polynomials(cos_angle, l_max)  # [..., L+1]
+    ls = np.arange(l_max + 1)
+    ang = pl * np.sqrt((2 * ls + 1) / (4 * np.pi))
+    out = radial * ang[..., None]
+    return out.reshape(*out.shape[:-2], (l_max + 1) * num_radial)
+
+
+def _np_jl(x: np.ndarray, l: int) -> np.ndarray:
+    x = np.maximum(np.asarray(x, np.float64), 1e-12)
+    j = [np.sin(x) / x, np.sin(x) / x**2 - np.cos(x) / x]
+    for ll in range(2, l + 1):
+        j.append((2 * ll - 1) / x * j[ll - 1] - j[ll - 2])
+    return j[l]
+
+
+def bessel_radial_basis_with_envelope(
+    d: jnp.ndarray, num_radial: int, cutoff: float, envelope_exponent: int = 5
+) -> jnp.ndarray:
+    """DimeNet e_RBF: enveloped zeroth-order Bessel basis [..., R]."""
+    from nabladft_tpu.ops.radial import bessel_rbf, polynomial_envelope
+
+    rbf = bessel_rbf(d, num_radial, cutoff)
+    env = polynomial_envelope(d / cutoff, envelope_exponent)
+    return rbf * env[..., None]

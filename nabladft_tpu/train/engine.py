@@ -1,0 +1,306 @@
+"""The single SPMD training/eval/predict engine.
+
+One engine covers what the reference spreads over pytorch-lightning Trainer +
+per-model LightningModule wrappers + PhiSNet's two hand-rolled loops
+(SURVEY §2.3, §2.6): jitted train/eval steps over a device mesh, weighted
+multi-task losses, EMA, plateau/warmup schedules, top-k checkpointing, early
+stopping, metric accumulation, and profiler hooks.
+
+Parallelism model: parameters replicated, batch dp-sharded over the mesh
+(`nabladft_tpu.parallel.mesh`). The jitted step is compiled once per bucket
+shape; XLA inserts the gradient psums. There are no process groups, no DDP
+wrappers, no `sync_dist` flags — the collective story lives entirely in the
+sharding annotations.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models.base import forward
+from nabladft_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from nabladft_tpu.train import losses as losses_lib
+from nabladft_tpu.train.checkpoints import CheckpointManager
+from nabladft_tpu.train.loggers import Logger, StdoutLogger
+from nabladft_tpu.train.metrics import MetricAccumulator, batch_metric_sums
+from nabladft_tpu.train.schedulers import PlateauState, build_schedule
+from nabladft_tpu.train.state import (
+    TrainState,
+    current_learning_rate,
+    ema_update,
+    set_learning_rate,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 100
+    max_steps: Optional[int] = None
+    optimizer: str = "adamw"  # adamw | adam | sgd
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = None
+    schedule: str = "plateau"  # plateau | constant | linear | polynomial | cosine | multistep
+    schedule_kwargs: Dict[str, Any] = field(default_factory=dict)
+    warmup_steps: int = 0
+    plateau_factor: float = 0.8
+    plateau_patience: int = 10
+    plateau_min_lr: float = 1e-6
+    ema_decay: float = 0.0  # 0 disables EMA
+    eval_with_ema: bool = True
+    log_every_n_steps: int = 50
+    ckpt_dir: Optional[str] = None
+    save_top_k: int = 3
+    monitor: str = "val/loss"
+    early_stopping_patience: Optional[int] = None
+    seed: int = 42
+    n_dp: Optional[int] = None  # None = all devices
+    profile_dir: Optional[str] = None
+    loss_specs: Dict[str, str] = field(
+        default_factory=lambda: {"energy": "l1", "forces": "l2norm"}
+    )
+    loss_coefs: Dict[str, float] = field(
+        default_factory=lambda: {"energy": 1.0, "forces": 1.0}
+    )
+
+
+class Trainer:
+    """fit / validate / test / predict over a model + datamodule."""
+
+    def __init__(
+        self,
+        model,
+        config: TrainerConfig = TrainerConfig(),
+        loggers: Optional[Logger] = None,
+        eval_model=None,
+    ):
+        self.model = model
+        self.eval_model = eval_model or model
+        self.cfg = config
+        self.loggers = loggers or StdoutLogger()
+        self.mesh = make_mesh(n_dp=config.n_dp)
+        self.n_dp = self.mesh.shape["dp"]
+        self.plateau = PlateauState(
+            factor=config.plateau_factor,
+            patience=config.plateau_patience,
+            min_lr=config.plateau_min_lr,
+        )
+        self.tx = self._build_tx()
+        self.state: Optional[TrainState] = None
+        self.ckpt = (
+            CheckpointManager(
+                Path(config.ckpt_dir), top_k=config.save_top_k, monitor=config.monitor
+            )
+            if config.ckpt_dir
+            else None
+        )
+        self._jit_train_step = jax.jit(
+            self._train_step,
+            donate_argnums=(0,),
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+        self._jit_eval_step = jax.jit(
+            self._eval_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+        self._jit_predict_step = jax.jit(
+            self._predict_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+
+    # -- setup ---------------------------------------------------------------
+
+    def _build_tx(self) -> optax.GradientTransformation:
+        cfg = self.cfg
+        schedule = build_schedule(
+            cfg.schedule,
+            cfg.lr,
+            total_steps=cfg.max_steps or 1_000_000,
+            warmup_steps=cfg.warmup_steps,
+            **cfg.schedule_kwargs,
+        )
+        lr: Any = schedule if schedule is not None else cfg.lr
+        opts = {
+            "adamw": lambda r: optax.adamw(r, weight_decay=cfg.weight_decay),
+            "adam": lambda r: optax.adam(r),
+            "sgd": lambda r: optax.sgd(r, momentum=0.9),
+        }
+        core = optax.inject_hyperparams(
+            lambda learning_rate: opts[cfg.optimizer](learning_rate)
+        )(learning_rate=lr)
+        if cfg.grad_clip:
+            return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
+        return core
+
+    def init_state(self, example_batch: MolBatch) -> TrainState:
+        batch = jax.tree_util.tree_map(jnp.asarray, example_batch)
+        # jit the init: eager flax init dispatches each op separately, which
+        # is pathologically slow on remote/tunneled TPU backends
+        params = jax.jit(self.model.init)(jax.random.PRNGKey(self.cfg.seed), batch)
+        self.state = TrainState.create(params, self.tx, ema=self.cfg.ema_decay > 0)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info(
+            "initialized %s: %.2fM params, mesh dp=%d",
+            type(self.model).__name__, n_params / 1e6, self.n_dp,
+        )
+        return self.state
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _loss_and_out(self, params, batch, model):
+        out = forward(model, params, batch)
+        losses = losses_lib.multitask_loss(
+            out, batch, self.cfg.loss_specs, self.cfg.loss_coefs
+        )
+        return losses, out
+
+    def _train_step(self, state: TrainState, batch: MolBatch):
+        def loss_fn(params):
+            losses, out = self._loss_and_out(params, batch, self.model)
+            return losses["total"], (losses, out)
+
+        grads, (losses, out) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, self.cfg.ema_decay)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+        )
+        metrics = {f"train/{k}": v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def _eval_params(self, state: TrainState):
+        if self.cfg.ema_decay > 0 and self.cfg.eval_with_ema and state.ema_params is not None:
+            return state.ema_params
+        return state.params
+
+    def _eval_step(self, state: TrainState, batch: MolBatch):
+        losses, out = self._loss_and_out(self._eval_params(state), batch, self.eval_model)
+        sums = batch_metric_sums(out, batch)
+        sums["loss_sum"] = losses["total"]
+        sums["loss_count"] = jnp.ones(())
+        return sums
+
+    def _predict_step(self, state: TrainState, batch: MolBatch):
+        out = forward(self.eval_model, self._eval_params(state), batch)
+        return out
+
+    # -- loops ---------------------------------------------------------------
+
+    def fit(self, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        train_loader = datamodule.train_dataloader()
+        step = 0
+        if self.state is None:
+            first = next(iter(train_loader))
+            self.init_state(first)
+        if ckpt_path:
+            assert self.ckpt is not None
+            self.state, step = self.ckpt.restore(self.state, Path(ckpt_path))
+
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+
+        stop = False
+        best = float("inf")
+        bad_epochs = 0
+        final_metrics: Dict[str, float] = {}
+        t_last = time.perf_counter()
+        try:
+            for epoch in range(cfg.max_epochs):
+                for batch in train_loader:
+                    self.state, metrics = self._jit_train_step(self.state, batch)
+                    step = int(self.state.step)
+                    if step % cfg.log_every_n_steps == 0:
+                        now = time.perf_counter()
+                        host = {k: float(v) for k, v in metrics.items()}
+                        host["epoch"] = epoch
+                        host["steps_per_sec"] = cfg.log_every_n_steps / max(now - t_last, 1e-9)
+                        lr = current_learning_rate(self.state.opt_state)
+                        if lr is not None:
+                            host["lr"] = lr
+                        self.loggers.log_metrics(host, step)
+                        t_last = now
+                    if cfg.max_steps and step >= cfg.max_steps:
+                        stop = True
+                        break
+
+                val_metrics = self.validate(datamodule.val_dataloader())
+                val_metrics["epoch"] = epoch
+                self.loggers.log_metrics(val_metrics, step)
+                final_metrics = val_metrics
+
+                monitored = val_metrics.get(cfg.monitor)
+                if monitored is not None:
+                    if cfg.schedule == "plateau":
+                        new_lr = self.plateau.step(monitored, cfg.lr)
+                        self.state = self.state.replace(
+                            opt_state=set_learning_rate(self.state.opt_state, new_lr)
+                        )
+                    if self.ckpt:
+                        self.ckpt.save(self.state, step, val_metrics)
+                    if monitored < best - 1e-12:
+                        best, bad_epochs = monitored, 0
+                    else:
+                        bad_epochs += 1
+                        if (
+                            cfg.early_stopping_patience
+                            and bad_epochs > cfg.early_stopping_patience
+                        ):
+                            logger.info("early stopping at epoch %d", epoch)
+                            stop = True
+                elif self.ckpt:
+                    self.ckpt.save(self.state, step, val_metrics)
+                if stop:
+                    break
+        finally:
+            if cfg.profile_dir:
+                jax.profiler.stop_trace()
+        logger.info("fit finished at step %d", step)
+        return final_metrics
+
+    def validate(self, loader, prefix: str = "val") -> Dict[str, float]:
+        acc = MetricAccumulator()
+        loss_sum, n_batches = 0.0, 0
+        for batch in loader:
+            if self.state is None:
+                self.init_state(batch)
+            sums = self._jit_eval_step(self.state, batch)
+            loss_sum += float(sums.pop("loss_sum"))
+            n_batches += int(sums.pop("loss_count"))
+            acc.update(sums)
+        metrics = {f"{prefix}/{k}": v for k, v in acc.compute().items()}
+        if n_batches:
+            metrics[f"{prefix}/loss"] = loss_sum / n_batches
+        return metrics
+
+    def test(self, loader) -> Dict[str, float]:
+        return self.validate(loader, prefix="test")
+
+    def predict(self, loader) -> Iterator[Dict[str, np.ndarray]]:
+        """Yields per-batch host outputs with padding molecules removed."""
+        for batch in loader:
+            if self.state is None:
+                self.init_state(batch)
+            out = self._jit_predict_step(self.state, batch)
+            keep = np.asarray(batch.graph_mask)
+            host = {k: np.asarray(v)[keep] for k, v in out.items()}
+            host["mol_id"] = np.asarray(batch.mol_id)[keep]
+            host["n_atoms"] = np.asarray(batch.node_mask.sum(-1))[keep]
+            yield host

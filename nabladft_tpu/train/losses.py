@@ -1,0 +1,103 @@
+"""Mask-aware loss functions with reference-parity semantics.
+
+Reference loss inventory:
+  * energy L1 / MSE (config/model/*.yaml `losses.energy`);
+  * forces `L2Loss` = mean over atoms of the per-atom force-vector 2-norm of
+    the error (gemnet_oc/loss.py:15 — NOT a squared loss);
+  * Hamiltonian loss = RMSE + MAE over masked matrix entries
+    (qhnet/loss.py:5-16), with the mask selecting real orbital blocks.
+
+All functions reduce over *real* elements only and return scalars; weighted
+combination happens in `multitask_loss`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _safe_div(num, den):
+    return num / jnp.maximum(den, 1.0)
+
+
+def energy_l1(pred, target, graph_mask) -> jnp.ndarray:
+    err = jnp.abs(pred - target)
+    return _safe_div(jnp.sum(jnp.where(graph_mask, err, 0.0)), graph_mask.sum())
+
+
+def energy_mse(pred, target, graph_mask) -> jnp.ndarray:
+    err = (pred - target) ** 2
+    return _safe_div(jnp.sum(jnp.where(graph_mask, err, 0.0)), graph_mask.sum())
+
+
+def forces_l1(pred, target, node_mask) -> jnp.ndarray:
+    """Component-wise MAE over real atoms (torch.nn.L1Loss semantics)."""
+    err = jnp.abs(pred - target) * node_mask[..., None]
+    return _safe_div(err.sum(), 3.0 * node_mask.sum())
+
+
+def forces_mse(pred, target, node_mask) -> jnp.ndarray:
+    err = (pred - target) ** 2 * node_mask[..., None]
+    return _safe_div(err.sum(), 3.0 * node_mask.sum())
+
+
+def forces_l2norm(pred, target, node_mask) -> jnp.ndarray:
+    """Per-atom error-vector 2-norm, averaged over real atoms
+    (reference GemNet `L2Loss`, gemnet_oc/loss.py:15)."""
+    d2 = jnp.sum((pred - target) ** 2, axis=-1)
+    norm = jnp.sqrt(d2 + _EPS)
+    return _safe_div(jnp.sum(jnp.where(node_mask, norm, 0.0)), node_mask.sum())
+
+
+def matrix_rmse_mae(pred, target, pair_mask) -> jnp.ndarray:
+    """RMSE + MAE over masked matrix entries (qhnet/loss.py:5-16)."""
+    diff = jnp.where(pair_mask, pred - target, 0.0)
+    n = jnp.maximum(pair_mask.sum(), 1.0)
+    mse = jnp.sum(diff * diff) / n
+    mae = jnp.sum(jnp.abs(diff)) / n
+    return jnp.sqrt(mse + _EPS) + mae
+
+
+LOSS_FNS = {
+    "energy_l1": energy_l1,
+    "energy_mse": energy_mse,
+    "forces_l1": forces_l1,
+    "forces_mse": forces_mse,
+    "forces_l2norm": forces_l2norm,
+}
+
+
+def multitask_loss(
+    out: Dict[str, jnp.ndarray],
+    batch,
+    loss_specs: Dict[str, str],
+    loss_coefs: Dict[str, float],
+) -> Dict[str, jnp.ndarray]:
+    """Weighted multi-task loss.
+
+    loss_specs: target -> loss kind, e.g. {"energy": "l1", "forces": "l2norm"}.
+    Returns {"total": scalar, "<target>": scalar per task}.
+    """
+    losses: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    for target, kind in loss_specs.items():
+        if target == "energy":
+            fn = LOSS_FNS[f"energy_{kind}"]
+            val = fn(out["energy"], batch.energy, batch.graph_mask)
+        elif target == "forces":
+            fn = LOSS_FNS[f"forces_{kind}"]
+            val = fn(out["forces"], batch.forces, batch.node_mask)
+        elif target in ("hamiltonian", "overlap", "core"):
+            pm = batch.orb_mask[:, :, None] & batch.orb_mask[:, None, :]
+            pm = pm & batch.graph_mask[:, None, None]
+            val = matrix_rmse_mae(out[target], getattr(batch, target), pm)
+        else:
+            raise KeyError(f"unknown loss target {target!r}")
+        losses[target] = val
+        total = total + loss_coefs.get(target, 1.0) * val
+    losses["total"] = total
+    return losses

@@ -1,0 +1,159 @@
+"""Energy-model invariants shared across the zoo.
+
+The reference has no numerical-correctness tests (SURVEY §4 gap); we add
+what matters physically: padding insensitivity, permutation invariance,
+rotation/translation invariance of energy, equivariance of forces, and the
+translation-nullspace of derivative forces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models import MODEL_REGISTRY, create_model, forward
+
+pytestmark = pytest.mark.model
+
+SMALL_KW = {
+    "schnet": dict(hidden=32, n_interactions=2, n_rbf=16, max_neighbors=12),
+    "painn": dict(hidden=32, n_interactions=2, n_rbf=16, max_neighbors=12),
+}
+
+
+def make_batch(rng, n_atoms=(9, 7), max_atoms=12):
+    B = len(n_atoms) + 1
+    z = np.zeros((B, max_atoms), np.int32)
+    pos = np.zeros((B, max_atoms, 3), np.float32)
+    node_mask = np.zeros((B, max_atoms), bool)
+    graph_mask = np.zeros((B,), bool)
+    for i, n in enumerate(n_atoms):
+        z[i, :n] = rng.integers(1, 17, n)
+        pos[i, :n] = rng.uniform(-3, 3, (n, 3))
+        node_mask[i, :n] = True
+        graph_mask[i] = True
+    return MolBatch(
+        z=z, pos=pos, node_mask=node_mask, graph_mask=graph_mask,
+        energy=np.zeros(B, np.float32), forces=np.zeros((B, max_atoms, 3), np.float32),
+        mol_id=np.arange(B, dtype=np.int32),
+    )
+
+
+def init_and_run(name, batch, **kw):
+    model = create_model(name, **SMALL_KW.get(name, {}), **kw)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = forward(model, variables, batch)
+    return model, variables, out
+
+
+@pytest.fixture(params=sorted(SMALL_KW))
+def model_name(request):
+    return request.param
+
+
+def test_output_shapes_and_finiteness(model_name, rng):
+    batch = make_batch(rng)
+    _, _, out = init_and_run(model_name, batch)
+    assert out["energy"].shape == (batch.num_mols,)
+    assert out["forces"].shape == batch.pos.shape
+    assert np.isfinite(np.asarray(out["energy"])).all()
+    assert np.isfinite(np.asarray(out["forces"])).all()
+    # padding molecule produces zero forces
+    assert np.abs(np.asarray(out["forces"][-1])).max() == 0.0
+
+
+def test_padding_insensitivity(model_name, rng):
+    """Extending padding must not change real outputs."""
+    batch = make_batch(rng, max_atoms=12)
+    model, variables, out = init_and_run(model_name, batch)
+    # pad to 20 atoms
+    pad = 8
+    batch2 = MolBatch(
+        z=np.pad(np.asarray(batch.z), ((0, 0), (0, pad))),
+        pos=np.pad(np.asarray(batch.pos), ((0, 0), (0, pad), (0, 0))),
+        node_mask=np.pad(np.asarray(batch.node_mask), ((0, 0), (0, pad))),
+        graph_mask=batch.graph_mask,
+        energy=batch.energy,
+        forces=np.pad(np.asarray(batch.forces), ((0, 0), (0, pad), (0, 0))),
+        mol_id=batch.mol_id,
+    )
+    out2 = forward(model, variables, batch2)
+    np.testing.assert_allclose(
+        np.asarray(out["energy"])[:2], np.asarray(out2["energy"])[:2], rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["forces"])[:, :12], np.asarray(out2["forces"])[:, :12],
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_rotation_invariance_and_force_equivariance(model_name, rng):
+    batch = make_batch(rng)
+    model, variables, out = init_and_run(model_name, batch)
+    # random rotation
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    rot = q.astype(np.float32)
+    batch_rot = batch.replace(pos=np.asarray(batch.pos) @ rot.T)
+    out_rot = forward(model, variables, batch_rot)
+    np.testing.assert_allclose(
+        np.asarray(out["energy"]), np.asarray(out_rot["energy"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["forces"]) @ rot.T, np.asarray(out_rot["forces"]),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_translation_invariance(model_name, rng):
+    batch = make_batch(rng)
+    model, variables, out = init_and_run(model_name, batch)
+    shift = np.asarray([1.7, -0.4, 2.2], np.float32)
+    out_t = forward(model, variables, batch.replace(pos=np.asarray(batch.pos) + shift))
+    np.testing.assert_allclose(
+        np.asarray(out["energy"]), np.asarray(out_t["energy"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_force_sum_zero(model_name, rng):
+    """Derivative forces of a translation-invariant energy sum to ~0."""
+    batch = make_batch(rng)
+    _, _, out = init_and_run(model_name, batch)
+    total = np.asarray(out["forces"]).sum(axis=1)
+    np.testing.assert_allclose(total[:2], 0.0, atol=1e-3)
+
+
+def test_permutation_invariance(model_name, rng):
+    batch = make_batch(rng, n_atoms=(10,), max_atoms=10)
+    model, variables, out = init_and_run(model_name, batch)
+    perm = rng.permutation(10)
+    batch_p = batch.replace(
+        z=np.asarray(batch.z)[:, perm], pos=np.asarray(batch.pos)[:, perm]
+    )
+    out_p = forward(model, variables, batch_p)
+    np.testing.assert_allclose(
+        np.asarray(out["energy"])[0], np.asarray(out_p["energy"])[0], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["forces"])[0][perm], np.asarray(out_p["forces"])[0],
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_jit_and_grad_compile(model_name, rng):
+    """One jitted train-style step: loss grad wrt params compiles and is finite."""
+    batch = make_batch(rng)
+    model, variables, _ = init_and_run(model_name, batch)
+
+    @jax.jit
+    def loss_fn(params, batch):
+        out = forward(model, params, batch)
+        le = jnp.sum(jnp.where(batch.graph_mask, (out["energy"] - batch.energy) ** 2, 0.0))
+        lf = jnp.sum((out["forces"] - batch.forces) ** 2 * batch.node_mask[..., None])
+        return le + 0.1 * lf
+
+    g = jax.jit(jax.grad(loss_fn))(variables, batch)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
