@@ -37,13 +37,29 @@ def legendre_polynomials(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def spherical_bessel_jl(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
-    """j_0..j_{l_max}(x) by upward recurrence, guarded near x=0.
+def _jl_series(x: jnp.ndarray, l: int, n_terms: int = 24) -> jnp.ndarray:
+    """Power series j_l(x) = x^l/(2l+1)!! · Σ_k t_k, with the term ratio
+    t_{k+1}/t_k = (-x²/2)/((k+1)(2l+2k+3)). Accurate for x ≲ l+2 in f32."""
+    dfact = 1.0
+    for i in range(1, 2 * l + 2, 2):
+        dfact *= i
+    t = jnp.ones_like(x)
+    s = t
+    x2 = x * x
+    for k in range(n_terms):
+        t = t * (-x2 / 2.0) / ((k + 1) * (2 * l + 2 * k + 3))
+        s = s + t
+    return (x**l / dfact) * s
 
-    Upward recurrence loses accuracy for x << l, but there j_l ≈ 0 and the
-    basis values are multiplied by an envelope that keeps products finite;
-    we clamp x away from 0 and zero-out the unstable region explicitly
-    (|j_l| <= 1 always, so clipping is safe).
+
+def spherical_bessel_jl(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """j_0..j_{l_max}(x), stable in float32 over the full basis range.
+
+    The classic upward recurrence amplifies rounding error catastrophically
+    for x < l (relative error reaches O(1) at l≳4 — enough to visibly break
+    rotation invariance of DimeNet++). We evaluate both the recurrence
+    (stable for x > l) and the power series (accurate for x ≲ l+2) and
+    select per element.
     """
     x_safe = jnp.maximum(x, 1e-6)
     j0 = jnp.sin(x_safe) / x_safe
@@ -51,9 +67,15 @@ def spherical_bessel_jl(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
     if l_max >= 1:
         outs.append(jnp.sin(x_safe) / x_safe**2 - jnp.cos(x_safe) / x_safe)
     for l in range(2, l_max + 1):
-        outs.append((2 * l - 1) / x_safe * outs[l - 1] - outs[l - 2])
-    stacked = jnp.stack(outs, axis=-1)
-    return jnp.clip(stacked, -1.0, 1.0)
+        up = (2 * l - 1) / x_safe * outs[l - 1] - outs[l - 2]
+        outs.append(up)
+    stacked = []
+    for l, up in enumerate(outs):
+        if l < 2:
+            stacked.append(up)
+        else:
+            stacked.append(jnp.where(x_safe > l + 1.0, up, _jl_series(x_safe, l)))
+    return jnp.stack(stacked, axis=-1)
 
 
 @lru_cache(maxsize=None)

@@ -160,16 +160,18 @@ class Trainer:
 
     # -- jitted steps --------------------------------------------------------
 
-    def _loss_and_out(self, params, batch, model):
-        out = forward(model, params, batch)
+    def _loss_and_out(self, params, batch, model, rngs=None):
+        out = forward(model, params, batch, rngs=rngs)
         losses = losses_lib.multitask_loss(
             out, batch, self.cfg.loss_specs, self.cfg.loss_coefs
         )
         return losses, out
 
     def _train_step(self, state: TrainState, batch: MolBatch):
+        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), state.step)}
+
         def loss_fn(params):
-            losses, out = self._loss_and_out(params, batch, self.model)
+            losses, out = self._loss_and_out(params, batch, self.model, rngs=rngs)
             return losses["total"], (losses, out)
 
         grads, (losses, out) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -19,7 +19,17 @@ pytestmark = pytest.mark.model
 SMALL_KW = {
     "schnet": dict(hidden=32, n_interactions=2, n_rbf=16, max_neighbors=12),
     "painn": dict(hidden=32, n_interactions=2, n_rbf=16, max_neighbors=12),
+    "dimenetpp": dict(
+        hidden=32, num_blocks=2, int_emb_size=16, basis_emb_size=4,
+        out_emb_channels=16, node_latent_dim=16, num_spherical=4, num_radial=4,
+        max_neighbors=8,
+    ),
+    "graphormer3d": dict(
+        blocks=2, layers=2, embed_dim=32, ffn_embed_dim=32, attention_heads=4,
+        num_kernel=16,
+    ),
 }
+DIRECT_FORCE_MODELS = {"graphormer3d"}
 
 
 def make_batch(rng, n_atoms=(9, 7), max_atoms=12):
@@ -101,10 +111,13 @@ def test_rotation_invariance_and_force_equivariance(model_name, rng):
     np.testing.assert_allclose(
         np.asarray(out["energy"]), np.asarray(out_rot["energy"]), rtol=1e-4, atol=1e-5
     )
-    np.testing.assert_allclose(
-        np.asarray(out["forces"]) @ rot.T, np.asarray(out_rot["forces"]),
-        rtol=1e-3, atol=1e-4,
-    )
+    if model_name not in DIRECT_FORCE_MODELS:
+        # Graphormer3D's per-axis force projections are not equivariant by
+        # construction (reference graphormer_3d.py:205-224) — energy only.
+        np.testing.assert_allclose(
+            np.asarray(out["forces"]) @ rot.T, np.asarray(out_rot["forces"]),
+            rtol=1e-3, atol=1e-4,
+        )
 
 
 def test_translation_invariance(model_name, rng):
@@ -119,6 +132,8 @@ def test_translation_invariance(model_name, rng):
 
 def test_force_sum_zero(model_name, rng):
     """Derivative forces of a translation-invariant energy sum to ~0."""
+    if model_name in DIRECT_FORCE_MODELS:
+        pytest.skip("direct-force head has no exact translation nullspace")
     batch = make_batch(rng)
     _, _, out = init_and_run(model_name, batch)
     total = np.asarray(out["forces"]).sum(axis=1)
