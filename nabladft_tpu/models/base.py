@@ -35,11 +35,12 @@ class MLP(nn.Module):
     features: Sequence[int]
     activation: Callable = jax.nn.silu
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, use_bias=self.use_bias)(x)
+            x = nn.Dense(f, use_bias=self.use_bias, dtype=self.dtype)(x)
             if i < len(self.features) - 1:
                 x = self.activation(x)
         return x

@@ -47,36 +47,40 @@ def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
 
 class PaiNNMessage(nn.Module):
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s, v, adj, rbf_env, unit):
         f = self.hidden
-        phi = MLP([f, 3 * f])(s)  # [B,A,3F] (node-level, cheap)
+        phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level, cheap)
         phi1, phi2, phi3 = jnp.split(phi, 3, axis=-1)
         mask = adj[..., None]
         # three F-wide filter streams on the enveloped RBF; each message
         # tensor is [B,A,A,F] and is consumed by one einsum contraction
-        m1 = jnp.where(mask, nn.Dense(f, name="w_s")(rbf_env) * phi1[:, None], 0.0)
+        m1 = jnp.where(mask, nn.Dense(f, name="w_s", dtype=self.dtype)(rbf_env) * phi1[:, None], 0.0)
         ds = m1.sum(axis=2)
-        m2 = jnp.where(mask, nn.Dense(f, name="w_vv")(rbf_env) * phi2[:, None], 0.0)
+        m2 = jnp.where(mask, nn.Dense(f, name="w_vv", dtype=self.dtype)(rbf_env) * phi2[:, None], 0.0)
         dv = jnp.einsum("bijf,bjvf->bivf", m2, v)
-        m3 = jnp.where(mask, nn.Dense(f, name="w_vs")(rbf_env) * phi3[:, None], 0.0)
-        dv = dv + jnp.einsum("bijv,bijf->bivf", unit, m3)
+        m3 = jnp.where(mask, nn.Dense(f, name="w_vs", dtype=self.dtype)(rbf_env) * phi3[:, None], 0.0)
+        dv = dv + jnp.einsum("bijv,bijf->bivf", unit, m3.astype(unit.dtype)).astype(self.dtype)
         return ds, dv
 
 
 class PaiNNUpdate(nn.Module):
     hidden: int
     eps: float = 1e-8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s, v):
         f = self.hidden
         # channel mixes of the vector features (no bias: equivariance)
-        u = nn.Dense(f, use_bias=False)(v)  # [B,A,3,F]
-        vv = nn.Dense(f, use_bias=False)(v)
-        vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=-2) + self.eps)  # [B,A,F]
-        gates = MLP([f, 3 * f])(jnp.concatenate([s, vv_norm], axis=-1))
+        u = nn.Dense(f, use_bias=False, dtype=self.dtype)(v)  # [B,A,3,F]
+        vv = nn.Dense(f, use_bias=False, dtype=self.dtype)(v)
+        vv_norm = jnp.sqrt(jnp.sum((vv * vv).astype(jnp.float32), axis=-2) + self.eps)
+        gates = MLP([f, 3 * f], dtype=self.dtype)(
+            jnp.concatenate([s, vv_norm.astype(s.dtype)], axis=-1)
+        )
         a_vv, a_sv, a_ss = jnp.split(gates, 3, axis=-1)
         dv = u * a_vv[:, :, None, :]
         dot = jnp.sum(u * vv, axis=-2)  # [B,A,F]
@@ -88,12 +92,15 @@ class PaiNNLayer(nn.Module):
     """One message+update interaction (remat unit)."""
 
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s, v, adj, rbf_env, unit):
-        ds, dv = PaiNNMessage(self.hidden, name="message")(s, v, adj, rbf_env, unit)
+        ds, dv = PaiNNMessage(self.hidden, dtype=self.dtype, name="message")(
+            s, v, adj, rbf_env, unit
+        )
         s, v = s + ds, v + dv
-        ds, dv = PaiNNUpdate(self.hidden, name="update")(s, v)
+        ds, dv = PaiNNUpdate(self.hidden, dtype=self.dtype, name="update")(s, v)
         return s + ds, v + dv
 
 
@@ -111,6 +118,7 @@ class PaiNN(nn.Module):
     energy_mean: float = 0.0
     energy_std: float = 1.0
     remat: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = True
 
@@ -131,14 +139,17 @@ class PaiNN(nn.Module):
             env = radial.cosine_cutoff(dist, self.cutoff)
         rbf_env = jnp.where(adj[..., None], rbf * env[..., None], 0.0)  # [B,A,A,R]
 
-        s = nn.Embed(self.num_elements, f, name="atom_embedding")(batch.z)
-        v = jnp.zeros((*s.shape[:2], 3, f), s.dtype)
+        cdt = jnp.dtype(self.compute_dtype)
+        rbf_env = rbf_env.astype(cdt)
+        unit_c = unit.astype(cdt)
+        s = nn.Embed(self.num_elements, f, dtype=cdt, name="atom_embedding")(batch.z)
+        v = jnp.zeros((*s.shape[:2], 3, f), cdt)
 
         layer_cls = nn.remat(PaiNNLayer) if self.remat else PaiNNLayer
         for i in range(self.n_interactions):
-            s, v = layer_cls(f, name=f"layer_{i}")(s, v, adj, rbf_env, unit)
+            s, v = layer_cls(f, dtype=cdt, name=f"layer_{i}")(s, v, adj, rbf_env, unit_c)
 
-        e_atom = MLP([f // 2, 1], name="energy_head")(s)[..., 0]
+        e_atom = MLP([f // 2, 1], name="energy_head")(s.astype(jnp.float32))[..., 0]
         e_atom = e_atom * self.energy_std + self.energy_mean
         energy = masked_sum(e_atom, batch.node_mask, axis=1)
         return {"energy": energy}

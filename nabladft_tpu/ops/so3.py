@@ -168,6 +168,25 @@ def _sh_recursion_consts(l_max: int) -> Tuple[float, ...]:
     return tuple(float(x) for x in consts)
 
 
+def real_sph_harm_np(unit: np.ndarray, l_max: int, normalized: bool = True) -> np.ndarray:
+    """Host-side (numpy, float64) twin of :func:`real_sph_harm` for
+    precomputing constant tables — safe to call inside jit traces."""
+    unit = np.asarray(unit, np.float64)
+    x, y, z = unit[..., 0], unit[..., 1], unit[..., 2]
+    ys: List[np.ndarray] = [np.ones_like(x)[..., None]]
+    if l_max >= 1:
+        ys.append(np.stack([y, z, x], axis=-1))
+    consts = _sh_recursion_consts(l_max)
+    for l in range(2, l_max + 1):
+        c = real_cg(l - 1, 1, l)
+        raw = np.einsum("...a,...b,abm->...m", ys[l - 1], ys[1], c)
+        ys.append(raw * consts[l])
+    if normalized:
+        scales = _sh_scale(l_max)
+        ys = [y_l * s for y_l, s in zip(ys, scales)]
+    return np.concatenate(ys, axis=-1)
+
+
 def real_sph_harm(
     unit: jnp.ndarray, l_max: int, normalized: bool = True
 ) -> jnp.ndarray:

@@ -28,8 +28,14 @@ SMALL_KW = {
         blocks=2, layers=2, embed_dim=32, ffn_embed_dim=32, attention_heads=4,
         num_kernel=16,
     ),
+    "escn": dict(
+        num_layers=2, l_max=3, m_max=2, sphere_channels=16, hidden=32,
+        edge_channels=16, max_neighbors=8, num_sphere_samples=32,
+        cutoff=6.0, distance_resolution=0.25,
+    ),
 }
-DIRECT_FORCE_MODELS = {"graphormer3d"}
+DIRECT_FORCE_MODELS = {"graphormer3d", "escn"}
+EQUIVARIANT_DIRECT = {"escn"}  # direct forces but exactly equivariant
 
 
 def make_batch(rng, n_atoms=(9, 7), max_atoms=12):
@@ -111,7 +117,7 @@ def test_rotation_invariance_and_force_equivariance(model_name, rng):
     np.testing.assert_allclose(
         np.asarray(out["energy"]), np.asarray(out_rot["energy"]), rtol=1e-4, atol=1e-5
     )
-    if model_name not in DIRECT_FORCE_MODELS:
+    if model_name not in DIRECT_FORCE_MODELS or model_name in EQUIVARIANT_DIRECT:
         # Graphormer3D's per-axis force projections are not equivariant by
         # construction (reference graphormer_3d.py:205-224) — energy only.
         np.testing.assert_allclose(
