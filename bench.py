@@ -53,7 +53,8 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     model = create_model(
-        "painn", hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0, max_neighbors=40
+        "painn", hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0, max_neighbors=40,
+        compute_dtype="bfloat16", remat=False,
     )
     cfg = TrainerConfig(
         schedule="constant", lr=1e-4, log_every_n_steps=10**9,
@@ -67,12 +68,13 @@ def main() -> None:
     state = trainer.state
     for _ in range(WARMUP):
         state, metrics = trainer._jit_train_step(state, batch)
-    jax.block_until_ready(metrics["train/total"])
+    float(metrics["train/total"])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = trainer._jit_train_step(state, batch)
-    jax.block_until_ready(metrics["train/total"])
+    float(metrics["train/total"])  # host fetch: block_until_ready alone does
+    # not guarantee completion through tunneled device backends
     dt = time.perf_counter() - t0
 
     conf_per_sec = BATCH * STEPS / dt

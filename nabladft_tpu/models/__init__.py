@@ -10,4 +10,5 @@ from nabladft_tpu.models.dimenetpp import DimeNetPP  # noqa: F401
 from nabladft_tpu.models.escn import ESCN  # noqa: F401
 from nabladft_tpu.models.graphormer3d import Graphormer3D  # noqa: F401
 from nabladft_tpu.models.painn import PaiNN  # noqa: F401
+from nabladft_tpu.models.qhnet import QHNet  # noqa: F401
 from nabladft_tpu.models.schnet import SchNet  # noqa: F401

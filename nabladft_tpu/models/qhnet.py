@@ -1,0 +1,476 @@
+"""QHNet: SE(3)-equivariant Hamiltonian-matrix prediction.
+
+TPU-native rebuild of the reference nablaDFT/qhnet (qhnet.py:24-343,
+layers.py: ConvLayer/SelfNetLayer/PairNetLayer/NormGate/Expansion).
+Architecture (config/model/qhnet.yaml defaults): lmax=4 features with 128
+channels per l, 5 ConvNet layers over a radius graph (r=12 Bohr ≈ full
+graph for nablaDFT molecules), Self/Pair heads after layer 2, and a
+wigner-3j `Expansion` that turns bottleneck irreps features into per-pair
+orbital blocks, assembled into the full symmetric H matrix.
+
+TPU design decisions:
+  * features are per-l dense arrays ``x[l]: [B, A, C, 2l+1]`` (uniform
+    multiplicity = the reference's `128x0e+128x1o+...` hidden irreps with
+    parity folded away, matching its even-base "in use" irreps);
+  * pair quantities live on the dense [B, A, A] lattice (the reference's
+    radius graph at 12 Bohr plus its separate "full graph",
+    qhnet.py:186-208, collapse to two masks over the same lattice);
+  * all tensor products are static einsums over `ops.so3.real_cg` tables;
+  * the final matrix assembly replaces the reference's per-molecule Python
+    triple loop (qhnet.py:293-321) with one one-hot projection einsum:
+    H = Σ_ij P_iᵀ block_ij P_j, fully on device, fixed shapes.
+
+The per-element orbital basis is a constructor argument (read from the
+Hamiltonian database's `basisset` table in the pipeline; defaults cover
+nablaDFT's def2-SVP elements).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models.base import MLP, ModelOutput, register_model, shifted_softplus
+from nabladft_tpu.ops import graph, so3
+from nabladft_tpu.ops.radial import ExpBernsteinRBF
+
+# def2-SVP contracted shells per element (l of each shell), nablaDFT's basis
+# (reference reads these from the database's basisset table,
+# hamiltonian_dataset.py:173-179; Br entry approximate).
+DEF2_SVP_ORBITALS: Dict[int, Tuple[int, ...]] = {
+    1: (0, 0, 1),
+    6: (0, 0, 0, 1, 1, 2),
+    7: (0, 0, 0, 1, 1, 2),
+    8: (0, 0, 0, 1, 1, 2),
+    9: (0, 0, 0, 1, 1, 2),
+    16: (0, 0, 0, 0, 1, 1, 1, 2),
+    17: (0, 0, 0, 0, 1, 1, 1, 2),
+    35: (0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2),
+}
+
+LMAX = 4  # feature lmax (reference sh_lmax=4)
+
+
+def _dims(lmax: int) -> List[int]:
+    return [2 * l + 1 for l in range(lmax + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Generic-orbital layout (the Expansion target basis)
+# ---------------------------------------------------------------------------
+
+
+class OrbitalLayout:
+    """Static per-element orbital bookkeeping.
+
+    Generic block basis = s_max×l0 + p_max×l1 + d_max×l2 (reference
+    `_get_mask`, qhnet.py:323-342); each element uses a prefix of each
+    l-group. R = generic block size; O-layout per molecule is dynamic
+    (depends on z) and handled on device via one-hot projections.
+    """
+
+    def __init__(self, orbitals: Dict[int, Sequence[int]], num_elements: int = 100):
+        self.orbitals = {int(z): tuple(o) for z, o in orbitals.items()}
+        counts = {z: [list(o).count(l) for l in range(3)] for z, o in self.orbitals.items()}
+        self.mults = [max(c[l] for c in counts.values()) for l in range(3)]  # s,p,d
+        self.R = sum(m * (2 * l + 1) for l, m in enumerate(self.mults))
+        # per element: valid mask + rank (compressed position) per generic slot
+        self.valid = np.zeros((num_elements, self.R), bool)
+        self.rank = np.zeros((num_elements, self.R), np.int32)
+        self.norb = np.zeros((num_elements,), np.int32)
+        for z, cnt in counts.items():
+            pos = 0
+            r = 0
+            for l, m_max in enumerate(self.mults):
+                used = cnt[l]
+                for sh in range(m_max):
+                    for m in range(2 * l + 1):
+                        if sh < used:
+                            self.valid[z, pos] = True
+                            self.rank[z, pos] = r
+                            r += 1
+                        pos += 1
+            self.norb[z] = r
+
+    def group_slices(self) -> List[Tuple[int, int, int]]:
+        """[(l, offset, mult)] of the generic block layout."""
+        out, off = [], 0
+        for l, m in enumerate(self.mults):
+            out.append((l, off, m))
+            off += m * (2 * l + 1)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Equivariant building blocks (per-l feature lists)
+# ---------------------------------------------------------------------------
+
+
+class IrrepsLinear(nn.Module):
+    """Per-l channel mix; bias on l=0 only (e3nn o3.Linear semantics)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        out = []
+        for l, x in enumerate(xs):
+            h = jnp.swapaxes(x, -1, -2)  # [..., 2l+1, C]
+            h = nn.Dense(self.out_ch, use_bias=(l == 0), name=f"l{l}")(h)
+            out.append(jnp.swapaxes(h, -1, -2))
+        return out
+
+
+class NormGate(nn.Module):
+    """Scalar-gated nonlinearity (reference layers.py:123-148)."""
+
+    @nn.compact
+    def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        c = xs[0].shape[-2]
+        nl = len(xs) - 1
+        norms = [
+            jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-8) for x in xs[1:]
+        ]  # each [..., C]
+        f0 = jnp.concatenate([xs[0][..., 0]] + norms, axis=-1)
+        gates = MLP([(nl + 1) * c, (nl + 1) * c], name="gate_mlp")(f0)
+        parts = jnp.split(gates, nl + 1, axis=-1)
+        out = [parts[0][..., None]]
+        for l in range(1, nl + 1):
+            out.append(xs[l] * parts[l][..., None])
+        return out
+
+
+def inner_products(xs_a: List[jnp.ndarray], xs_b: List[jnp.ndarray]) -> jnp.ndarray:
+    """Per-l per-channel invariants <a_l, b_l> / (2l+1). [..., (L+1)*C]."""
+    outs = [
+        jnp.sum(a * b, axis=-1) / a.shape[-1] for a, b in zip(xs_a, xs_b)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _tp_paths(l_in_max: int, l_sh_max: int, l_out_max: int) -> Tuple[Tuple[int, int, int], ...]:
+    paths = []
+    for l1 in range(l_in_max + 1):
+        for l2 in range(l_sh_max + 1):
+            for l3 in range(abs(l1 - l2), min(l1 + l2, l_out_max) + 1):
+                paths.append((l1, l2, l3))
+    return tuple(paths)
+
+
+def weighted_tensor_product(
+    xs: List[jnp.ndarray],
+    sh: List[jnp.ndarray],
+    weights: jnp.ndarray,
+    l_out_max: int,
+) -> List[jnp.ndarray]:
+    """uvu-mode TP: out[l3] += w_path ⊙ (x[l1] ⊗ sh[l2])_{l3} per channel.
+
+    xs[l1]: [..., C, 2l1+1]; sh[l2]: [..., 2l2+1]; weights: [..., P, C]
+    (P = number of paths). Pure einsum chain over static CG tables.
+    """
+    paths = _tp_paths(len(xs) - 1, len(sh) - 1, l_out_max)
+    outs: List[Optional[jnp.ndarray]] = [None] * (l_out_max + 1)
+    for p, (l1, l2, l3) in enumerate(paths):
+        cg = jnp.asarray(so3.real_cg(l1, l2, l3), xs[0].dtype)
+        w = weights[..., p, :]  # [..., C]
+        term = jnp.einsum("abm,...ca,...b->...cm", cg, xs[l1], sh[l2])
+        term = term * w[..., None]
+        outs[l3] = term if outs[l3] is None else outs[l3] + term
+    return [
+        o if o is not None else jnp.zeros((*xs[0].shape[:-1], 2 * l + 1), xs[0].dtype)
+        for l, o in enumerate(outs)
+    ]
+
+
+def self_tensor_product(
+    xs_a: List[jnp.ndarray], xs_b: List[jnp.ndarray], l_out_max: int, weights: jnp.ndarray
+) -> List[jnp.ndarray]:
+    """uuu-mode TP of two per-l feature lists with learned per-path-channel
+    weights [P, C]."""
+    paths = _tp_paths(len(xs_a) - 1, len(xs_b) - 1, l_out_max)
+    outs: List[Optional[jnp.ndarray]] = [None] * (l_out_max + 1)
+    for p, (l1, l2, l3) in enumerate(paths):
+        cg = jnp.asarray(so3.real_cg(l1, l2, l3), xs_a[0].dtype)
+        term = jnp.einsum("abm,...ca,...cb->...cm", cg, xs_a[l1], xs_b[l2])
+        term = term * weights[p][..., None]
+        outs[l3] = term if outs[l3] is None else outs[l3] + term
+    return [
+        o if o is not None else jnp.zeros((*xs_a[0].shape[:-1], 2 * l + 1), xs_a[0].dtype)
+        for l, o in enumerate(outs)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+
+class ConvNetLayer(nn.Module):
+    """Radius-graph equivariant convolution (reference layers.py:150-344)."""
+
+    channels: int
+    rbf_dim: int
+    use_norm_gate: bool = True
+
+    @nn.compact
+    def __call__(self, xs, sh, rbf, adj):
+        # xs[l]: [B,A,C,2l+1]; sh[l2]: [B,A,A,2l2+1]; rbf: [B,A,A,R]; adj [B,A,A]
+        c = self.channels
+        n_paths = len(_tp_paths(LMAX, LMAX, LMAX))
+        if self.use_norm_gate:
+            pre = IrrepsLinear(c, name="linear_pre")(xs)
+            gated = NormGate(name="norm_gate")(xs)
+            gated = IrrepsLinear(c, name="linear_in")(gated)
+        else:
+            pre = xs
+            gated = xs
+        # pair invariants: scalars of i, scalars of j, per-l inner products
+        ip = inner_products(
+            [x[:, :, None] for x in pre], [x[:, None, :] for x in pre]
+        )  # [B,A,A,(L+1)C]
+        b, a = ip.shape[0], ip.shape[1]
+        s0 = jnp.concatenate(
+            [
+                jnp.broadcast_to(pre[0][:, :, None, :, 0], (b, a, a, c)),
+                jnp.broadcast_to(pre[0][:, None, :, :, 0], (b, a, a, c)),
+                ip,
+            ],
+            axis=-1,
+        )
+        w = MLP([32, n_paths * c], activation=shifted_softplus, name="fc_rbf")(rbf)
+        w = w * MLP([32, n_paths * c], activation=shifted_softplus, name="fc_s0")(s0)
+        w = w.reshape(*w.shape[:-1], n_paths, c)
+        w = jnp.where(adj[..., None, None], w, 0.0)
+        x_j = [
+            jnp.broadcast_to(x[:, None], (x.shape[0], x.shape[1], *x.shape[1:]))
+            for x in gated
+        ]
+        msgs = weighted_tensor_product(x_j, sh, w, LMAX)  # [B,A,A,C,2l3+1]
+        agg = [m.sum(axis=2) for m in msgs]
+        out = [a_ + g for a_, g in zip(agg, gated)]  # resnet (reference :270)
+        return IrrepsLinear(c, name="linear_out")(out)
+
+
+class SelfNetLayer(nn.Module):
+    """Node self tensor product -> diagonal-block features
+    (reference layers.py:495-583)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, xs, old_fii):
+        c = self.channels
+        xl = IrrepsLinear(c, name="lin1")(NormGate(name="ng1")(xs))
+        xr = IrrepsLinear(c, name="lin2")(NormGate(name="ng2")(xs))
+        n_paths = len(_tp_paths(LMAX, LMAX, LMAX))
+        w = self.param("tp_weights", nn.initializers.normal(1.0), (n_paths, c))
+        tp = self_tensor_product(xl, xr, LMAX, [w[p] for p in range(n_paths)])
+        tp = [a + b for a, b in zip(tp, xs)]
+        tp = NormGate(name="ng3")(tp)
+        out = IrrepsLinear(c, name="lin3")(tp)
+        if old_fii is not None:
+            out = [a + b for a, b in zip(out, old_fii)]
+        return out
+
+
+class PairNetLayer(nn.Module):
+    """Pairwise tensor product -> off-diagonal block features
+    (reference layers.py:346-494)."""
+
+    channels: int
+    rbf_dim: int
+
+    @nn.compact
+    def __call__(self, xs, rbf_full, full_mask, old_fij):
+        c = self.channels
+        inner = IrrepsLinear(c, name="lin_inner")(xs)
+        ip = inner_products(
+            [x[:, :, None] for x in inner], [x[:, None, :] for x in inner]
+        )  # [B,A,A,(L+1)C]
+        s0 = jnp.concatenate(
+            [
+                jnp.broadcast_to(inner[0][:, :, None, :, 0], ip.shape[:-1] + (c,)),
+                jnp.broadcast_to(inner[0][:, None, :, :, 0], ip.shape[:-1] + (c,)),
+                ip,
+            ],
+            axis=-1,
+        )
+        node = IrrepsLinear(c, name="lin_n")(NormGate(name="ng_pre")(xs))
+        n_paths = len(_tp_paths(LMAX, LMAX, LMAX))
+        w = MLP([8, n_paths * c], activation=shifted_softplus, name="fc_rbf")(rbf_full)
+        w = w * MLP([c, n_paths * c], name="fc_s0")(s0)
+        w = w.reshape(*w.shape[:-1], n_paths, c)
+        w = jnp.where(full_mask[..., None, None], w, 0.0)
+        pair = self_tensor_product(
+            [x[:, :, None] for x in node],
+            [x[:, None, :] for x in node],
+            LMAX,
+            [w[..., p, :] for p in range(n_paths)],
+        )  # [B,A,A,C,2l+1]
+        pair = NormGate(name="ng_post")(pair)
+        out = IrrepsLinear(c, name="lin_out")(pair)
+        if old_fij is not None:
+            out = [a + b for a, b in zip(out, old_fij)]
+        return out
+
+
+class Expansion(nn.Module):
+    """Irreps features -> generic orbital block via wigner-3j paths
+    (reference layers.py:585-656)."""
+
+    layout: OrbitalLayout
+
+    @nn.compact
+    def __call__(self, fs: List[jnp.ndarray], weights: jnp.ndarray, bias: jnp.ndarray):
+        """fs[l]: [..., Cb, 2l+1]; weights: [..., W]; bias: [..., Wb].
+        Returns [..., R, R]."""
+        cb = fs[0].shape[-2]
+        groups = self.layout.group_slices()
+        lead = fs[0].shape[:-2]
+        out = jnp.zeros((*lead, self.layout.R, self.layout.R), fs[0].dtype)
+        w_off, b_off = 0, 0
+        for lo1, off1, mul1 in groups:
+            for lo2, off2, mul2 in groups:
+                block = None
+                for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, LMAX) + 1):
+                    cg = jnp.asarray(so3.real_cg(lo1, lo2, l_in), fs[0].dtype)
+                    nw = cb * mul1 * mul2
+                    w = weights[..., w_off : w_off + nw].reshape(*lead, cb, mul1, mul2)
+                    w_off += nw
+                    term = jnp.einsum("...wk,...wuv->...uvk", fs[l_in], w) / cb
+                    if l_in == 0:
+                        b = bias[..., b_off : b_off + mul1 * mul2].reshape(
+                            *lead, mul1, mul2
+                        )
+                        b_off += mul1 * mul2
+                        term = term + b[..., None]
+                    contrib = jnp.einsum("ijk,...uvk->...uivj", cg, term)
+                    contrib = contrib.reshape(
+                        *lead, mul1 * (2 * lo1 + 1), mul2 * (2 * lo2 + 1)
+                    )
+                    block = contrib if block is None else block + contrib
+                if block is not None:
+                    out = out.at[
+                        ...,
+                        off1 : off1 + mul1 * (2 * lo1 + 1),
+                        off2 : off2 + mul2 * (2 * lo2 + 1),
+                    ].set(block)
+        return out
+
+
+def expansion_weight_counts(layout: OrbitalLayout, cb: int) -> Tuple[int, int]:
+    w, b = 0, 0
+    groups = layout.group_slices()
+    for lo1, _, mul1 in groups:
+        for lo2, _, mul2 in groups:
+            for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, LMAX) + 1):
+                w += cb * mul1 * mul2
+                if l_in == 0:
+                    b += mul1 * mul2
+    return w, b
+
+
+# ---------------------------------------------------------------------------
+# The model
+# ---------------------------------------------------------------------------
+
+
+@register_model("qhnet")
+class QHNet(nn.Module):
+    """Defaults follow reference config/model/qhnet.yaml / qhnet.py:31-41."""
+
+    hidden: int = 128
+    bottle_hidden: int = 32
+    num_layers: int = 5
+    radius_cutoff: float = 12.0  # Bohr (Hamiltonian DB coordinates are Bohr)
+    rbf_dim: int = 32
+    num_elements: int = 100
+    start_layer: int = 2
+    orbitals: Optional[Dict[int, Tuple[int, ...]]] = None
+    remat: bool = True
+
+    derivative_forces = False
+
+    @nn.compact
+    def __call__(self, batch: MolBatch) -> ModelOutput:
+        c, cb = self.hidden, self.bottle_hidden
+        layout = OrbitalLayout(self.orbitals or DEF2_SVP_ORBITALS, self.num_elements)
+        o_max = batch.orb_mask.shape[-1] if batch.orb_mask is not None else None
+
+        dg = graph.dense_graph(batch.pos, batch.node_mask, self.radius_cutoff)
+        full_mask = graph.dense_graph(batch.pos, batch.node_mask, 1e9).adj
+        dist = jnp.where(full_mask, dg.dist, 0.0)
+        unit = jnp.where(
+            full_mask[..., None], dg.diff / jnp.maximum(dg.dist, 1e-9)[..., None], 0.0
+        )
+        rbf = ExpBernsteinRBF(self.rbf_dim, self.radius_cutoff, name="rbf")(dist)
+        rbf = jnp.where(full_mask[..., None], rbf, 0.0)
+        # component-normalized edge SH (reference build_graph, qhnet.py:258-268)
+        sh_flat = so3.real_sph_harm(unit, LMAX, normalized=False)
+        sh = [sh_flat[..., l * l : (l + 1) * (l + 1)] for l in range(LMAX + 1)]
+
+        emb = nn.Embed(self.num_elements, c, name="node_embedding")(batch.z)
+        xs = [emb[..., None]] + [
+            jnp.zeros((*batch.z.shape, c, 2 * l + 1), emb.dtype) for l in range(1, LMAX + 1)
+        ]
+
+        conv_cls = nn.remat(ConvNetLayer) if self.remat else ConvNetLayer
+        pair_cls = nn.remat(PairNetLayer) if self.remat else PairNetLayer
+        fii = None
+        fij = None
+        for i in range(self.num_layers):
+            xs = conv_cls(c, self.rbf_dim, use_norm_gate=(i != 0), name=f"conv_{i}")(
+                xs, sh, rbf, dg.adj
+            )
+            if i > self.start_layer:
+                fii = SelfNetLayer(c, name=f"self_{i}")(xs, fii)
+                fij = pair_cls(c, self.rbf_dim, name=f"pair_{i}")(xs, rbf, full_mask, fij)
+
+        fii = IrrepsLinear(cb, name="output_ii")(fii)
+        fij = IrrepsLinear(cb, name="output_ij")(fij)
+
+        n_w, n_b = expansion_weight_counts(layout, cb)
+        x0 = xs[0][..., 0]  # [B,A,C] scalar node features
+        w_ii = MLP([c, n_w], name="fc_ii")(x0)
+        b_ii = MLP([c, n_b], name="fc_ii_bias")(x0)
+        pair_scal = jnp.concatenate(
+            [
+                jnp.broadcast_to(x0[:, :, None], (*full_mask.shape, c)),
+                jnp.broadcast_to(x0[:, None, :], (*full_mask.shape, c)),
+            ],
+            axis=-1,
+        )
+        w_ij = MLP([c, n_w], name="fc_ij")(pair_scal)
+        b_ij = MLP([c, n_b], name="fc_ij_bias")(pair_scal)
+
+        diag = Expansion(layout, name="expand_ii")(fii, w_ii, b_ii)  # [B,A,R,R]
+        off = Expansion(layout, name="expand_ij")(fij, w_ij, b_ij)  # [B,A,A,R,R]
+
+        if o_max is None:
+            return {"diag_blocks": diag, "off_blocks": off}
+
+        # on-device assembly: P[b,i,r,o] one-hot projection per atom
+        norb_t = jnp.asarray(layout.norb)
+        valid_t = jnp.asarray(layout.valid)
+        rank_t = jnp.asarray(layout.rank)
+        norb = jnp.where(batch.node_mask, norb_t[batch.z], 0)  # [B,A]
+        offsets = jnp.cumsum(norb, axis=1) - norb  # [B,A]
+        tgt = offsets[..., None] + rank_t[batch.z]  # [B,A,R]
+        v = valid_t[batch.z] & batch.node_mask[..., None]  # [B,A,R]
+        p = jax.nn.one_hot(jnp.where(v, tgt, o_max), o_max, dtype=diag.dtype)
+        p = p * v[..., None]  # [B,A,R,O]
+
+        h = jnp.einsum("biro,birs,bisq->boq", p, diag, p)
+        # off-diagonal: mask out i==j (diag handled above)
+        eye = jnp.eye(off.shape[1], dtype=bool)
+        off = jnp.where(~eye[None, :, :, None, None] & full_mask[..., None, None], off, 0.0)
+        h = h + jnp.einsum("biro,bijrs,bjsq->boq", p, off, p)
+        h = h + jnp.swapaxes(h, -1, -2)  # symmetrize (reference qhnet.py:236)
+        return {"hamiltonian": h}

@@ -1,0 +1,132 @@
+"""Hamiltonian predictors: shapes, symmetry, SE(3) covariance.
+
+The key physics check: the predicted matrix must transform as
+H(R·pos) = T(R) H(pos) T(R)ᵀ with T the block-diagonal Wigner-D over the
+atomic orbital shells — that is what "equivariant Hamiltonian prediction"
+means, and it pins the whole irreps pipeline end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models import create_model
+from nabladft_tpu.ops import so3
+
+pytestmark = pytest.mark.model
+
+ORBITALS = {1: (0, 0, 1), 6: (0, 0, 0, 1, 1, 2), 8: (0, 0, 0, 1, 1, 2)}
+NORB = {z: sum(2 * l + 1 for l in o) for z, o in ORBITALS.items()}
+
+QHNET_KW = dict(
+    hidden=24, bottle_hidden=8, num_layers=4, rbf_dim=8, orbitals=ORBITALS,
+    start_layer=2,
+)
+
+
+def make_ham_batch(rng, mols=((6, 1, 1, 8), (8, 1, 1)), max_atoms=6, o_max=40):
+    B = len(mols) + 1
+    z = np.zeros((B, max_atoms), np.int32)
+    pos = np.zeros((B, max_atoms, 3), np.float32)
+    node_mask = np.zeros((B, max_atoms), bool)
+    graph_mask = np.zeros((B,), bool)
+    orb_mask = np.zeros((B, o_max), bool)
+    ham = np.zeros((B, o_max, o_max), np.float32)
+    for i, zs in enumerate(mols):
+        n = len(zs)
+        z[i, :n] = zs
+        pos[i, :n] = rng.uniform(-2, 2, (n, 3))
+        node_mask[i, :n] = True
+        graph_mask[i] = True
+        no = sum(NORB[int(q)] for q in zs)
+        orb_mask[i, :no] = True
+        m = rng.normal(size=(no, no)).astype(np.float32)
+        ham[i, :no, :no] = m + m.T
+    return MolBatch(
+        z=z, pos=pos, node_mask=node_mask, graph_mask=graph_mask,
+        energy=np.zeros(B, np.float32),
+        forces=np.zeros((B, max_atoms, 3), np.float32),
+        mol_id=np.arange(B, dtype=np.int32),
+        hamiltonian=ham, orb_mask=orb_mask,
+    )
+
+
+def orbital_rotation(zs, rot, o_max):
+    """Block-diagonal Wigner-D over the shells of a molecule."""
+    ds = [np.asarray(d)[0] for d in so3.wigner_d(jnp.asarray(rot[None]), 2)]
+    t = np.zeros((o_max, o_max))
+    off = 0
+    for z in zs:
+        for l in ORBITALS[int(z)]:
+            k = 2 * l + 1
+            t[off : off + k, off : off + k] = ds[l]
+            off += k
+    for i in range(off, o_max):
+        t[i, i] = 1.0
+    return t
+
+
+@pytest.fixture(scope="module")
+def qhnet_setup():
+    rng = np.random.default_rng(0)
+    batch = make_ham_batch(rng)
+    model = create_model("qhnet", **QHNET_KW)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    return model, variables, batch, out
+
+
+def test_qhnet_shapes_and_symmetry(qhnet_setup):
+    _, _, batch, out = qhnet_setup
+    h = np.asarray(out["hamiltonian"])
+    assert h.shape == batch.hamiltonian.shape
+    assert np.isfinite(h).all()
+    np.testing.assert_allclose(h, np.swapaxes(h, -1, -2), atol=1e-5)
+    # entries outside the orbital mask are zero
+    om = np.asarray(batch.orb_mask)
+    pair = om[:, :, None] & om[:, None, :]
+    assert np.abs(h[~pair]).max() == 0.0
+
+
+def test_qhnet_rotation_covariance(qhnet_setup):
+    model, variables, batch, out = qhnet_setup
+    rng = np.random.default_rng(1)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    rot = q.astype(np.float64)
+    out_rot = model.apply(variables, batch.replace(pos=np.asarray(batch.pos) @ rot.T.astype(np.float32)))
+    h, h_rot = np.asarray(out["hamiltonian"]), np.asarray(out_rot["hamiltonian"])
+    o_max = h.shape[-1]
+    for b in range(2):
+        zs = np.asarray(batch.z[b])[np.asarray(batch.node_mask[b])]
+        t = orbital_rotation(zs, rot, o_max)
+        expected = t @ h[b] @ t.T
+        np.testing.assert_allclose(h_rot[b], expected, atol=5e-3, rtol=1e-2)
+
+
+def test_qhnet_translation_invariance(qhnet_setup):
+    model, variables, batch, out = qhnet_setup
+    out_t = model.apply(
+        variables, batch.replace(pos=np.asarray(batch.pos) + np.float32([1.0, -2.0, 0.5]))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["hamiltonian"]), np.asarray(out_t["hamiltonian"]),
+        atol=1e-4, rtol=1e-3,
+    )
+
+
+def test_qhnet_grad_compiles(qhnet_setup):
+    model, variables, batch, _ = qhnet_setup
+    from nabladft_tpu.train.losses import matrix_rmse_mae
+
+    @jax.jit
+    def loss(params):
+        out = model.apply(params, batch)
+        pm = batch.orb_mask[:, :, None] & batch.orb_mask[:, None, :]
+        return matrix_rmse_mae(out["hamiltonian"], batch.hamiltonian, pm)
+
+    g = jax.grad(loss)(variables)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
