@@ -4,6 +4,9 @@ The reference has no numerical-correctness tests (SURVEY §4 gap); we add
 what matters physically: padding insensitivity, permutation invariance,
 rotation/translation invariance of energy, equivariance of forces, and the
 translation-nullspace of derivative forces.
+
+One module-scoped bundle per model: init/compile happen once per
+architecture, each test reuses the same params and baseline outputs.
 """
 
 import jax
@@ -12,7 +15,7 @@ import numpy as np
 import pytest
 
 from nabladft_tpu.data.batch import MolBatch
-from nabladft_tpu.models import MODEL_REGISTRY, create_model, forward
+from nabladft_tpu.models import create_model, forward
 
 pytestmark = pytest.mark.model
 
@@ -33,9 +36,15 @@ SMALL_KW = {
         edge_channels=16, max_neighbors=8, num_sphere_samples=32,
         cutoff=6.0, distance_resolution=0.25,
     ),
+    "equiformer_v2": dict(
+        num_layers=2, l_max=3, m_max=2, sphere_channels=16,
+        attn_alpha_channels=8, num_heads=2, attn_value_channels=4,
+        ffn_hidden_channels=16, edge_channels=16, num_distance_basis=16,
+        cutoff=6.0, max_neighbors=8,
+    ),
 }
-DIRECT_FORCE_MODELS = {"graphormer3d", "escn"}
-EQUIVARIANT_DIRECT = {"escn"}  # direct forces but exactly equivariant
+DIRECT_FORCE_MODELS = {"graphormer3d", "escn", "equiformer_v2"}
+EQUIVARIANT_DIRECT = {"escn", "equiformer_v2"}  # direct but exactly equivariant
 
 
 def make_batch(rng, n_atoms=(9, 7), max_atoms=12):
@@ -56,21 +65,19 @@ def make_batch(rng, n_atoms=(9, 7), max_atoms=12):
     )
 
 
-def init_and_run(name, batch, **kw):
-    model = create_model(name, **SMALL_KW.get(name, {}), **kw)
-    variables = model.init(jax.random.PRNGKey(0), batch)
-    out = forward(model, variables, batch)
-    return model, variables, out
-
-
-@pytest.fixture(params=sorted(SMALL_KW))
-def model_name(request):
-    return request.param
-
-
-def test_output_shapes_and_finiteness(model_name, rng):
+@pytest.fixture(scope="module", params=sorted(SMALL_KW))
+def bundle(request):
+    name = request.param
+    rng = np.random.default_rng(0)
     batch = make_batch(rng)
-    _, _, out = init_and_run(model_name, batch)
+    model = create_model(name, **SMALL_KW[name])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = forward(model, variables, batch)
+    return name, model, variables, batch, out
+
+
+def test_output_shapes_and_finiteness(bundle):
+    name, model, variables, batch, out = bundle
     assert out["energy"].shape == (batch.num_mols,)
     assert out["forces"].shape == batch.pos.shape
     assert np.isfinite(np.asarray(out["energy"])).all()
@@ -79,11 +86,9 @@ def test_output_shapes_and_finiteness(model_name, rng):
     assert np.abs(np.asarray(out["forces"][-1])).max() == 0.0
 
 
-def test_padding_insensitivity(model_name, rng):
+def test_padding_insensitivity(bundle):
     """Extending padding must not change real outputs."""
-    batch = make_batch(rng, max_atoms=12)
-    model, variables, out = init_and_run(model_name, batch)
-    # pad to 20 atoms
+    name, model, variables, batch, out = bundle
     pad = 8
     batch2 = MolBatch(
         z=np.pad(np.asarray(batch.z), ((0, 0), (0, pad))),
@@ -104,31 +109,33 @@ def test_padding_insensitivity(model_name, rng):
     )
 
 
-def test_rotation_invariance_and_force_equivariance(model_name, rng):
-    batch = make_batch(rng)
-    model, variables, out = init_and_run(model_name, batch)
-    # random rotation
+def test_rotation_invariance_and_force_equivariance(bundle):
+    name, model, variables, batch, out = bundle
+    rng = np.random.default_rng(5)
     q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
     if np.linalg.det(q) < 0:
         q[:, 0] *= -1
     rot = q.astype(np.float32)
     batch_rot = batch.replace(pos=np.asarray(batch.pos) @ rot.T)
     out_rot = forward(model, variables, batch_rot)
+    e_atol = 5e-3 if name == "equiformer_v2" else 1e-5
     np.testing.assert_allclose(
-        np.asarray(out["energy"]), np.asarray(out_rot["energy"]), rtol=1e-4, atol=1e-5
+        np.asarray(out["energy"]), np.asarray(out_rot["energy"]), rtol=1e-4, atol=e_atol
     )
-    if model_name not in DIRECT_FORCE_MODELS or model_name in EQUIVARIANT_DIRECT:
+    if name not in DIRECT_FORCE_MODELS or name in EQUIVARIANT_DIRECT:
         # Graphormer3D's per-axis force projections are not equivariant by
         # construction (reference graphormer_3d.py:205-224) — energy only.
+        # Grid-nonlinearity models are equivariant only up to sphere-
+        # quadrature aliasing (same approximation as the reference SO3_Grid).
+        atol = 5e-3 if name == "equiformer_v2" else 1e-4
         np.testing.assert_allclose(
             np.asarray(out["forces"]) @ rot.T, np.asarray(out_rot["forces"]),
-            rtol=1e-3, atol=1e-4,
+            rtol=1e-3, atol=atol,
         )
 
 
-def test_translation_invariance(model_name, rng):
-    batch = make_batch(rng)
-    model, variables, out = init_and_run(model_name, batch)
+def test_translation_invariance(bundle):
+    name, model, variables, batch, out = bundle
     shift = np.asarray([1.7, -0.4, 2.2], np.float32)
     out_t = forward(model, variables, batch.replace(pos=np.asarray(batch.pos) + shift))
     np.testing.assert_allclose(
@@ -136,20 +143,21 @@ def test_translation_invariance(model_name, rng):
     )
 
 
-def test_force_sum_zero(model_name, rng):
+def test_force_sum_zero(bundle):
     """Derivative forces of a translation-invariant energy sum to ~0."""
-    if model_name in DIRECT_FORCE_MODELS:
+    name, model, variables, batch, out = bundle
+    if name in DIRECT_FORCE_MODELS:
         pytest.skip("direct-force head has no exact translation nullspace")
-    batch = make_batch(rng)
-    _, _, out = init_and_run(model_name, batch)
     total = np.asarray(out["forces"]).sum(axis=1)
     np.testing.assert_allclose(total[:2], 0.0, atol=1e-3)
 
 
-def test_permutation_invariance(model_name, rng):
-    batch = make_batch(rng, n_atoms=(10,), max_atoms=10)
-    model, variables, out = init_and_run(model_name, batch)
-    perm = rng.permutation(10)
+def test_permutation_invariance(bundle):
+    name, model, variables, batch, out = bundle
+    rng = np.random.default_rng(7)
+    a = batch.max_atoms
+    # permute only real-atom slots of molecule 0 (9 atoms), keep padding
+    perm = np.concatenate([rng.permutation(9), np.arange(9, a)])
     batch_p = batch.replace(
         z=np.asarray(batch.z)[:, perm], pos=np.asarray(batch.pos)[:, perm]
     )
@@ -163,18 +171,16 @@ def test_permutation_invariance(model_name, rng):
     )
 
 
-def test_jit_and_grad_compile(model_name, rng):
-    """One jitted train-style step: loss grad wrt params compiles and is finite."""
-    batch = make_batch(rng)
-    model, variables, _ = init_and_run(model_name, batch)
+def test_grad_wrt_params_finite(bundle):
+    """Loss grad wrt params compiles and is finite (train-step viability)."""
+    name, model, variables, batch, _ = bundle
 
-    @jax.jit
-    def loss_fn(params, batch):
+    def loss_fn(params):
         out = forward(model, params, batch)
         le = jnp.sum(jnp.where(batch.graph_mask, (out["energy"] - batch.energy) ** 2, 0.0))
         lf = jnp.sum((out["forces"] - batch.forces) ** 2 * batch.node_mask[..., None])
         return le + 0.1 * lf
 
-    g = jax.jit(jax.grad(loss_fn))(variables, batch)
+    g = jax.jit(jax.grad(loss_fn))(variables)
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
