@@ -7,6 +7,7 @@ from nabladft_tpu.models.base import (  # noqa: F401
     register_model,
 )
 from nabladft_tpu.models.dimenetpp import DimeNetPP  # noqa: F401
+from nabladft_tpu.models.gemnet_oc import GemNetOC  # noqa: F401
 from nabladft_tpu.models.equiformer_v2 import EquiformerV2  # noqa: F401
 from nabladft_tpu.models.escn import ESCN  # noqa: F401
 from nabladft_tpu.models.graphormer3d import Graphormer3D  # noqa: F401

@@ -102,17 +102,18 @@ def neighbor_list(
 
 
 def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-node features at neighbor indices.
+    """Gather per-node features at (arbitrarily nested) node indices.
 
-    x: [B, A, ...feat], idx: [B, A, K]  ->  [B, A, K, ...feat]
+    x: [B, A, ...feat], idx: [B, ...index]  ->  [B, ...index, ...feat]
     """
-    b, a = idx.shape[0], idx.shape[1]
+    b, a = x.shape[0], x.shape[1]
     feat_shape = x.shape[2:]
-    flat_idx = idx.reshape(b, -1)  # [B, A*K]
+    idx_shape = idx.shape[1:]
+    flat_idx = idx.reshape(b, -1)  # [B, prod(index)]
     out = jnp.take_along_axis(
         x.reshape(b, a, -1), flat_idx[..., None], axis=1
-    )  # [B, A*K, F]
-    return out.reshape(b, a, idx.shape[2], *feat_shape)
+    )  # [B, prod(index), F]
+    return out.reshape(b, *idx_shape, *feat_shape)
 
 
 def scatter_to_nodes(

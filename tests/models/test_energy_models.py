@@ -42,9 +42,16 @@ SMALL_KW = {
         ffn_hidden_channels=16, edge_channels=16, num_distance_basis=16,
         cutoff=6.0, max_neighbors=8,
     ),
+    "gemnet_oc": dict(
+        num_blocks=2, emb_size_atom=32, emb_size_edge=32, emb_size_trip_in=8,
+        emb_size_trip_out=8, emb_size_quad_in=8, emb_size_quad_out=8,
+        emb_size_rbf=8, emb_size_cbf=8, emb_size_sbf=8, num_radial=16,
+        num_spherical=4, num_spherical_quad=3, cutoff=6.0, cutoff_qint=6.0,
+        cutoff_aint=6.0, max_neighbors=8, max_neighbors_qint=4,
+    ),
 }
-DIRECT_FORCE_MODELS = {"graphormer3d", "escn", "equiformer_v2"}
-EQUIVARIANT_DIRECT = {"escn", "equiformer_v2"}  # direct but exactly equivariant
+DIRECT_FORCE_MODELS = {"graphormer3d", "escn", "equiformer_v2", "gemnet_oc"}
+EQUIVARIANT_DIRECT = {"escn", "equiformer_v2", "gemnet_oc"}  # direct but exactly equivariant
 
 
 def make_batch(rng, n_atoms=(9, 7), max_atoms=12):
