@@ -12,5 +12,6 @@ from nabladft_tpu.models.equiformer_v2 import EquiformerV2  # noqa: F401
 from nabladft_tpu.models.escn import ESCN  # noqa: F401
 from nabladft_tpu.models.graphormer3d import Graphormer3D  # noqa: F401
 from nabladft_tpu.models.painn import PaiNN  # noqa: F401
+from nabladft_tpu.models.phisnet import PhiSNet  # noqa: F401
 from nabladft_tpu.models.qhnet import QHNet  # noqa: F401
 from nabladft_tpu.models.schnet import SchNet  # noqa: F401

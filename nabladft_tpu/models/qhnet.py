@@ -339,7 +339,7 @@ class Expansion(nn.Module):
         for lo1, off1, mul1 in groups:
             for lo2, off2, mul2 in groups:
                 block = None
-                for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, LMAX) + 1):
+                for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, len(fs) - 1) + 1):
                     cg = jnp.asarray(so3.real_cg(lo1, lo2, l_in), fs[0].dtype)
                     nw = cb * mul1 * mul2
                     w = weights[..., w_off : w_off + nw].reshape(*lead, cb, mul1, mul2)
@@ -365,12 +365,14 @@ class Expansion(nn.Module):
         return out
 
 
-def expansion_weight_counts(layout: OrbitalLayout, cb: int) -> Tuple[int, int]:
+def expansion_weight_counts(
+    layout: OrbitalLayout, cb: int, l_in_max: int = LMAX
+) -> Tuple[int, int]:
     w, b = 0, 0
     groups = layout.group_slices()
     for lo1, _, mul1 in groups:
         for lo2, _, mul2 in groups:
-            for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, LMAX) + 1):
+            for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, l_in_max) + 1):
                 w += cb * mul1 * mul2
                 if l_in == 0:
                     b += mul1 * mul2

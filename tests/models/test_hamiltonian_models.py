@@ -118,6 +118,56 @@ def test_qhnet_translation_invariance(qhnet_setup):
     )
 
 
+PHISNET_KW = dict(
+    order=2, num_features=16, num_basis_functions=8, num_modules=2,
+    orbitals=ORBITALS, cutoff=8.0,
+)
+
+
+@pytest.fixture(scope="module")
+def phisnet_setup():
+    rng = np.random.default_rng(0)
+    batch = make_ham_batch(rng)
+    batch = batch.replace(overlap=batch.hamiltonian, core=batch.hamiltonian)
+    model = create_model("phisnet", **PHISNET_KW)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    return model, variables, batch, out
+
+
+def test_phisnet_shapes_symmetry(phisnet_setup):
+    _, _, batch, out = phisnet_setup
+    for key in ("hamiltonian", "overlap", "core"):
+        m = np.asarray(out[key])
+        assert m.shape == batch.hamiltonian.shape
+        assert np.isfinite(m).all()
+        np.testing.assert_allclose(m, np.swapaxes(m, -1, -2), atol=1e-5)
+    om = np.asarray(batch.orb_mask)
+    pair = om[:, :, None] & om[:, None, :]
+    assert np.abs(np.asarray(out["hamiltonian"])[~pair]).max() == 0.0
+
+
+def test_phisnet_rotation_covariance(phisnet_setup):
+    model, variables, batch, out = phisnet_setup
+    rng = np.random.default_rng(2)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    rot = q
+    out_rot = model.apply(
+        variables, batch.replace(pos=np.asarray(batch.pos) @ rot.T.astype(np.float32))
+    )
+    o_max = batch.hamiltonian.shape[-1]
+    for key in ("hamiltonian", "overlap"):
+        h, h_rot = np.asarray(out[key]), np.asarray(out_rot[key])
+        for b in range(2):
+            zs = np.asarray(batch.z[b])[np.asarray(batch.node_mask[b])]
+            t = orbital_rotation(zs, rot, o_max)
+            np.testing.assert_allclose(
+                h_rot[b], t @ h[b] @ t.T, atol=5e-3, rtol=1e-2, err_msg=key
+            )
+
+
 def test_qhnet_grad_compiles(qhnet_setup):
     model, variables, batch, _ = qhnet_setup
     from nabladft_tpu.train.losses import matrix_rmse_mae
