@@ -71,10 +71,27 @@ def build_datamodule(cfg: Dict[str, Any]) -> DataModule:
     )
 
 
-def build_trainer(cfg: Dict[str, Any]) -> Trainer:
+def build_trainer(cfg: Dict[str, Any], datamodule: Optional[DataModule] = None) -> Trainer:
     m = cfg["model"]
-    model = create_model(m["name"], **m.get("kwargs", {}))
+    kwargs = dict(m.get("kwargs", {}))
+    # Hamiltonian models read the orbital basis convention from the
+    # database's basisset table (reference hamiltonian_dataset.py:173-179)
+    if (
+        datamodule is not None
+        and isinstance(datamodule.dataset, HamiltonianDataset)
+        and "orbitals" not in kwargs
+        and m["name"].lower() in ("qhnet", "phisnet")
+    ):
+        db = datamodule.dataset.db
+        elements = db.elements()
+        if elements:
+            kwargs["orbitals"] = {
+                int(z): tuple(int(l) for l in db.get_orbitals(z)) for z in elements
+            }
+    model = create_model(m["name"], **kwargs)
     t = dict(cfg.get("trainer", {}))
+    for k, v in m.get("trainer_overrides", {}).items():
+        t.setdefault(k, v)
     t.setdefault("loss_specs", m.get("loss_specs", {"energy": "l1", "forces": "l2norm"}))
     t.setdefault("loss_coefs", m.get("loss_coefs", {"energy": 1.0, "forces": 1.0}))
     if cfg.get("ckpt_dir"):
@@ -129,15 +146,16 @@ def run(cfg: Dict[str, Any]) -> Optional[Dict[str, float]]:
         return run_optimize_job(cfg)
 
     dm = build_datamodule(cfg)
-    trainer = build_trainer(cfg)
+    trainer = build_trainer(cfg, dm)
 
     ckpt_path = cfg.get("ckpt_path")
     if cfg.get("pretrained"):
-        from nabladft_tpu.models.pretrained import load_pretrained_into
+        from nabladft_tpu.models.pretrained import get_pretrained_params
 
         first = next(iter(dm.val_dataloader() if job != "train" else dm.train_dataloader()))
         trainer.init_state(first)
-        trainer.state = load_pretrained_into(trainer.state, cfg["pretrained"])
+        params = get_pretrained_params(cfg["pretrained"], trainer.model, first)
+        trainer.state = trainer.state.replace(params=params)
         ckpt_path = None
 
     if job == "train":

@@ -145,7 +145,36 @@ class Trainer:
             return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
         return core
 
+    def _maybe_shrink_mesh(self, batch_size: int) -> None:
+        """If the batch doesn't divide the dp axis, rebuild the mesh with the
+        largest dividing device count (and re-jit the steps)."""
+        if batch_size % self.n_dp == 0:
+            return
+        n = self.n_dp
+        while batch_size % n:
+            n -= 1
+        logger.warning(
+            "batch size %d not divisible by %d devices; using dp=%d",
+            batch_size, self.n_dp, n,
+        )
+        self.mesh = make_mesh(n_dp=n)
+        self.n_dp = n
+        self._jit_train_step = jax.jit(
+            self._train_step,
+            donate_argnums=(0,),
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+        self._jit_eval_step = jax.jit(
+            self._eval_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+        self._jit_predict_step = jax.jit(
+            self._predict_step,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+        )
+
     def init_state(self, example_batch: MolBatch) -> TrainState:
+        self._maybe_shrink_mesh(example_batch.z.shape[0])
         batch = jax.tree_util.tree_map(jnp.asarray, example_batch)
         # jit the init: eager flax init dispatches each op separately, which
         # is pathologically slow on remote/tunneled TPU backends

@@ -84,10 +84,25 @@ def test_cfg_validation():
 def test_config_composition(tmp_path):
     cfg = load_config(
         "configs/painn-oc.yaml",
-        overrides={"trainer": {"max_epochs": 1}, "datamodule": {"source": "x.db"}},
+        overrides={"trainer": {"max_epochs": 1}, "dataset_name": "mydb"},
     )
     assert cfg["model"]["name"] == "painn"
     assert cfg["model"]["kwargs"]["hidden"] == 128
     assert cfg["trainer"]["max_epochs"] == 1
     assert cfg["trainer"]["lr"] == 1e-4
-    assert cfg["ckpt_dir"] == "checkpoints/PAINN-OC"  # interpolation
+    assert cfg["ckpt_dir"] == "checkpoints/painn-oc"  # interpolation
+    assert cfg["datamodule"]["source"] == "mydb"  # group interpolation
+
+
+def test_all_model_configs_instantiate():
+    """Every shipped model config must build its model."""
+    from pathlib import Path
+
+    import yaml
+
+    from nabladft_tpu.models import create_model
+
+    for f in sorted(Path("configs/model").glob("*.yaml")):
+        cfg = yaml.safe_load(f.read_text())
+        model = create_model(cfg["name"], **cfg.get("kwargs", {}))
+        assert model is not None, f
