@@ -142,25 +142,19 @@ def assign_buckets(natoms: np.ndarray, boundaries: Sequence[int]) -> np.ndarray:
 def collate_energy(
     recs: EnergyRecords, indices: Sequence[int], batch_size: int, max_atoms: int
 ) -> MolBatch:
-    """Pad the given molecules into one MolBatch of [batch_size, max_atoms]."""
-    b, a = batch_size, max_atoms
-    z = np.zeros((b, a), np.int32)
-    pos = np.zeros((b, a, 3), np.float32)
-    node_mask = np.zeros((b, a), bool)
-    graph_mask = np.zeros((b,), bool)
-    energy = np.zeros((b,), np.float32)
-    forces = np.zeros((b, a, 3), np.float32)
-    mol_id = np.full((b,), -1, np.int32)
-    for slot, i in enumerate(indices):
-        zi, pi, ei, fi = recs.slice(int(i))
-        n = len(zi)
-        z[slot, :n] = zi
-        pos[slot, :n] = pi
-        node_mask[slot, :n] = True
-        graph_mask[slot] = True
-        energy[slot] = ei
-        forces[slot, :n] = fi
-        mol_id[slot] = recs.row_ids[int(i)]
+    """Pad the given molecules into one MolBatch of [batch_size, max_atoms].
+
+    The gather+pad runs in the native fastpack kernel when available
+    (csrc/fastpack.c), with an identical numpy fallback."""
+    from nabladft_tpu.data import fastpack
+
+    idx = np.asarray(indices, np.int64)
+    z, pos, forces, node_mask, graph_mask, energy = fastpack.pack_energy_batch(
+        recs.z, recs.pos, recs.forces, recs.energy, recs.offsets, idx,
+        batch_size, max_atoms,
+    )
+    mol_id = np.full((batch_size,), -1, np.int32)
+    mol_id[: len(idx)] = recs.row_ids[idx]
     return MolBatch(
         z=z, pos=pos, node_mask=node_mask, graph_mask=graph_mask,
         energy=energy, forces=forces, mol_id=mol_id,
