@@ -76,11 +76,18 @@ def lbfgs_relax(
     damping: float = 1.0,
     alpha: float = 1.0,
     fixed_atoms_mask: Optional[jnp.ndarray] = None,
+    use_line_search: bool = False,
+    ls_trials: int = 4,
+    ls_c1: float = 1e-4,
 ) -> LBFGSResult:
     """Relax all molecules of a padded batch on device.
 
     `fixed_atoms_mask` [B,A] (True = frozen) mirrors the reference's
     fixed-atom support (calculator.py fixed-atom masking).
+    `use_line_search` enables a per-molecule backtracking Armijo search
+    (the compiled stand-in for the reference's vectorized Moré–Thuente
+    line search, optimization/line_search.py:4-515; off by default, as in
+    config/optimizer/batchwise_lbfgs.yaml).
     """
     node_mask = batch.node_mask
     free = node_mask
@@ -171,6 +178,20 @@ def lbfgs_relax(
         longest = jnp.max(jnp.where(node_mask, steplen, 0.0), axis=-1)  # [B]
         scale = jnp.where(longest >= maxstep, maxstep / jnp.maximum(longest, 1e-12), 1.0)
         dr = p * scale[:, None, None] * damping
+
+        if use_line_search:
+            # per-molecule backtracking Armijo: E(x+αp) ≤ E(x) + c1 α ∇E·p
+            g_dot_p = _config_dot(-st.forces, dr, node_mask)  # [B]
+            trial = jnp.ones((b,), dr.dtype)
+            best = jnp.full((b,), 0.5**(ls_trials - 1), dr.dtype)
+            accepted = jnp.zeros((b,), bool)
+            for _ in range(ls_trials):
+                e_t, _ = compute(st.pos + trial[:, None, None] * dr)
+                ok = e_t <= st.energy + ls_c1 * trial * g_dot_p
+                best = jnp.where(ok & ~accepted, trial, best)
+                accepted = accepted | ok
+                trial = trial * 0.5
+            dr = dr * best[:, None, None]
 
         new_pos = st.pos + dr
         e, f = compute(new_pos)

@@ -78,8 +78,10 @@ class TrainerConfig:
     # forward-over-reverse force-loss gradients for derivative-force
     # models: ∂/∂θ Σ w·F is taken as the grad of a JVP in direction
     # w = ∂L_f/∂F (stop-grad) instead of reverse-over-reverse — same
-    # gradient, far lighter on memory and ~1.5-2x faster on TPU
-    fast_force_grads: bool = True
+    # gradient (tested), much lighter on memory; on v5e the direct
+    # second-order path is currently slightly faster, so this is opt-in
+    # (use it when memory, not time, is the binding constraint)
+    fast_force_grads: bool = False
 
 
 class Trainer:
@@ -264,6 +266,21 @@ class Trainer:
             grads, (losses, out) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # NaN guard: skip the update entirely when the gradient is non-finite
+        # (the compiled analog of the reference's failure handling — PhiSNet's
+        # skip-batch loop, train.py:347-358, and GemNet's ForceScaler retry)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm) & jnp.isfinite(losses["total"])
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), params, state.params
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "dtype")
+            else new,
+            opt_state,
+            state.opt_state,
+        )
         ema = state.ema_params
         if ema is not None:
             ema = ema_update(ema, params, self.cfg.ema_decay)
@@ -271,7 +288,8 @@ class Trainer:
             step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
         )
         metrics = {f"train/{k}": v for k, v in losses.items()}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return new_state, metrics
 
     def _eval_params(self, state: TrainState):

@@ -137,3 +137,16 @@ def test_normal_modes_dimer():
     m = 1.008
     expected = np.sqrt(4 * k / m)
     assert abs(f[nonzero][0] - expected) / expected < 0.05
+
+
+def test_lbfgs_with_line_search(rng):
+    from nabladft_tpu.optimize.lbfgs import lbfgs_relax as _relax
+
+    batch = make_batch(rng, n_atoms=(4,), max_atoms=4)
+    result = _relax(
+        harmonic_ef(), batch, fmax=1e-3, max_steps=200, memory=10,
+        use_line_search=True,
+    )
+    assert bool(np.asarray(result.converged)[0])
+    e0, _ = harmonic_ef()(batch)
+    assert float(result.energy[0]) < float(e0[0])
