@@ -53,16 +53,18 @@ class PaiNNMessage(nn.Module):
     def __call__(self, s, v, adj, rbf_env, unit):
         f = self.hidden
         phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level, cheap)
-        phi1, phi2, phi3 = jnp.split(phi, 3, axis=-1)
         mask = adj[..., None]
-        # three F-wide filter streams on the enveloped RBF; each message
-        # tensor is [B,A,A,F] and is consumed by one einsum contraction
-        m1 = jnp.where(mask, nn.Dense(f, name="w_s", dtype=self.dtype)(rbf_env) * phi1[:, None], 0.0)
-        ds = m1.sum(axis=2)
-        m2 = jnp.where(mask, nn.Dense(f, name="w_vv", dtype=self.dtype)(rbf_env) * phi2[:, None], 0.0)
-        dv = jnp.einsum("bijf,bjvf->bivf", m2, v)
-        m3 = jnp.where(mask, nn.Dense(f, name="w_vs", dtype=self.dtype)(rbf_env) * phi3[:, None], 0.0)
-        dv = dv + jnp.einsum("bijv,bijf->bivf", unit, m3.astype(unit.dtype)).astype(self.dtype)
+        # one fused filter matmul over the (shared, bandwidth-heavy) RBF
+        # tensor; the product with gathered phi_j happens in the same pass
+        w = nn.Dense(3 * f, name="w_filter", dtype=self.dtype)(rbf_env)  # [B,A,A,3F]
+        m = jnp.where(mask, w * phi[:, None], 0.0)
+        ds = m[..., :f].sum(axis=2)
+        # vector aggregations as explicit multiply+reduce (VPU): measured
+        # ~2x faster than the f-batched tiny-matmul einsum lowering
+        dv = (m[..., f : 2 * f][:, :, :, None, :] * v[:, None]).sum(axis=2)
+        dv = dv + (m[..., 2 * f :][:, :, :, None, :] * unit[..., None].astype(self.dtype)).sum(
+            axis=2
+        )
         return ds, dv
 
 

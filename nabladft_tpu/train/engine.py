@@ -69,6 +69,7 @@ class TrainerConfig:
     seed: int = 42
     n_dp: Optional[int] = None  # None = all devices
     profile_dir: Optional[str] = None
+    log_mfu: bool = False  # XLA cost analysis can be slow on remote backends
     loss_specs: Dict[str, str] = field(
         default_factory=lambda: {"energy": "l1", "forces": "l2norm"}
     )
@@ -333,11 +334,13 @@ class Trainer:
             for epoch in range(cfg.max_epochs):
                 for batch in train_loader:
                     if self._step_flops is None:
-                        from nabladft_tpu.train import profiling
+                        self._step_flops = 0.0
+                        if cfg.log_mfu:
+                            from nabladft_tpu.train import profiling
 
-                        self._step_flops = profiling.compiled_flops(
-                            self._jit_train_step, self.state, batch
-                        ) or 0.0
+                            self._step_flops = profiling.compiled_flops(
+                                self._jit_train_step, self.state, batch
+                            ) or 0.0
                     self.state, metrics = self._jit_train_step(self.state, batch)
                     step = int(self.state.step)
                     if step % cfg.log_every_n_steps == 0:

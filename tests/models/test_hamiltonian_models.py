@@ -21,8 +21,8 @@ ORBITALS = {1: (0, 0, 1), 6: (0, 0, 0, 1, 1, 2), 8: (0, 0, 0, 1, 1, 2)}
 NORB = {z: sum(2 * l + 1 for l in o) for z, o in ORBITALS.items()}
 
 QHNET_KW = dict(
-    hidden=24, bottle_hidden=8, num_layers=4, rbf_dim=8, orbitals=ORBITALS,
-    start_layer=2,
+    hidden=16, bottle_hidden=8, num_layers=3, rbf_dim=8, orbitals=ORBITALS,
+    start_layer=1,
 )
 
 

@@ -18,7 +18,7 @@ def ham_db(tmp_path):
     db = HamiltonianDatabase(tmp_path / "ham.db", create=True)
     for z, orbs in ORBITALS.items():
         db.add_orbitals(z, np.asarray(orbs, np.int32))
-    for i in range(12):
+    for i in range(8):
         zs = [6] + [1] * int(rng.integers(2, 5)) + ([8] if i % 2 else [])
         n = len(zs)
         no = sum(NORB[z] for z in zs)
@@ -46,8 +46,8 @@ def test_qhnet_pipeline(ham_db, tmp_path):
         "seed": 0,
         "model": {
             "name": "qhnet",
-            "kwargs": dict(hidden=16, bottle_hidden=8, num_layers=4, rbf_dim=8,
-                           start_layer=2),
+            "kwargs": dict(hidden=8, bottle_hidden=4, num_layers=3, rbf_dim=8,
+                           start_layer=1),
             "loss_specs": {"hamiltonian": "rmse_mae"},
             "loss_coefs": {"hamiltonian": 1.0},
         },
