@@ -48,16 +48,33 @@ def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
 class PaiNNMessage(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s, v, adj, rbf_env, unit):
         f = self.hidden
+        r = rbf_env.shape[-1]
         phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level, cheap)
+        w = self.param("filter_kernel", nn.initializers.lecun_normal(), (r, 3 * f))
+        b = self.param("filter_bias", nn.initializers.zeros, (3 * f,))
+        if self.use_pallas:
+            import jax as _jax
+
+            from nabladft_tpu.ops.pallas.painn_message import painn_message_fused
+
+            v_flat = v.reshape(*v.shape[:2], 3 * f)  # [B,A,3,F] -> c-major flat
+            ds, dv_flat = painn_message_fused(
+                rbf_env, phi, v_flat, unit.astype(rbf_env.dtype),
+                adj.astype(rbf_env.dtype), w.astype(rbf_env.dtype),
+                b.astype(rbf_env.dtype),
+                _jax.default_backend() == "cpu",  # interpret off-TPU
+            )
+            return ds, dv_flat.reshape(*ds.shape[:2], 3, f)
         mask = adj[..., None]
         # one fused filter matmul over the (shared, bandwidth-heavy) RBF
         # tensor; the product with gathered phi_j happens in the same pass
-        w = nn.Dense(3 * f, name="w_filter", dtype=self.dtype)(rbf_env)  # [B,A,A,3F]
-        m = jnp.where(mask, w * phi[:, None], 0.0)
+        wm = (rbf_env @ w.astype(self.dtype)) + b.astype(self.dtype)
+        m = jnp.where(mask, wm * phi[:, None], 0.0)
         ds = m[..., :f].sum(axis=2)
         # vector aggregations as explicit multiply+reduce (VPU): measured
         # ~2x faster than the f-batched tiny-matmul einsum lowering
@@ -95,12 +112,13 @@ class PaiNNLayer(nn.Module):
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s, v, adj, rbf_env, unit):
-        ds, dv = PaiNNMessage(self.hidden, dtype=self.dtype, name="message")(
-            s, v, adj, rbf_env, unit
-        )
+        ds, dv = PaiNNMessage(
+            self.hidden, dtype=self.dtype, use_pallas=self.use_pallas, name="message"
+        )(s, v, adj, rbf_env, unit)
         s, v = s + ds, v + dv
         ds, dv = PaiNNUpdate(self.hidden, dtype=self.dtype, name="update")(s, v)
         return s + ds, v + dv
@@ -121,6 +139,9 @@ class PaiNN(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # fused Pallas message kernel: first-order paths only (inference,
+    # relaxation forces); training keeps the XLA formulation
+    use_pallas: bool = False
 
     derivative_forces = True
 
@@ -147,9 +168,11 @@ class PaiNN(nn.Module):
         s = nn.Embed(self.num_elements, f, dtype=cdt, name="atom_embedding")(batch.z)
         v = jnp.zeros((*s.shape[:2], 3, f), cdt)
 
-        layer_cls = nn.remat(PaiNNLayer) if self.remat else PaiNNLayer
+        layer_cls = nn.remat(PaiNNLayer) if (self.remat and not self.use_pallas) else PaiNNLayer
         for i in range(self.n_interactions):
-            s, v = layer_cls(f, dtype=cdt, name=f"layer_{i}")(s, v, adj, rbf_env, unit_c)
+            s, v = layer_cls(
+                f, dtype=cdt, use_pallas=self.use_pallas, name=f"layer_{i}"
+            )(s, v, adj, rbf_env, unit_c)
 
         e_atom = MLP([f // 2, 1], name="energy_head")(s.astype(jnp.float32))[..., 0]
         e_atom = e_atom * self.energy_std + self.energy_mean
