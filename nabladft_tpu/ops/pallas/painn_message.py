@@ -62,7 +62,7 @@ def _fwd_kernel(rbf_ref, phi_ref, v_ref, unit_ref, mask_ref, w_ref, b_ref,
     m = m.reshape(ti, a, 3 * f)
     phi = phi_ref[0]  # [A, 3F]
     m = m * phi[None].astype(jnp.float32)
-    m = m * mask_ref[0][:, :, None].astype(jnp.float32)
+    m = m * mask_ref[0].astype(jnp.float32)[:, :, None]
     ds_ref[0] = m[..., :f].sum(axis=1).astype(ds_ref.dtype)
     v = v_ref[0].astype(jnp.float32)  # [A, 3F] = (c-major: c*F+f)
     u = unit_ref[0].astype(jnp.float32)  # [TI, A, 3]
@@ -70,8 +70,10 @@ def _fwd_kernel(rbf_ref, phi_ref, v_ref, unit_ref, mask_ref, w_ref, b_ref,
     mvs = m[..., 2 * f :]
     outs = []
     for c in range(3):
-        dv_c = (mvv * v[None, :, c * f : (c + 1) * f]).sum(axis=1)
-        dv_c = dv_c + (mvs * u[..., c : c + 1]).sum(axis=1)
+        vc = v[:, c * f : (c + 1) * f]  # simple slice, then expand
+        uc = u[:, :, c]
+        dv_c = (mvv * vc[None]).sum(axis=1)
+        dv_c = dv_c + (mvs * uc[:, :, None]).sum(axis=1)
         outs.append(dv_c)
     dv_ref[0] = jnp.concatenate(outs, axis=-1).astype(dv_ref.dtype)
 
@@ -127,7 +129,7 @@ def _bwd_kernel(rbf_ref, phi_ref, v_ref, unit_ref, mask_ref, w_ref, b_ref,
     phi = phi_ref[0].astype(jnp.float32)  # [A, 3F]
     v = v_ref[0].astype(jnp.float32)  # [A, 3F]
     u = unit_ref[0].astype(jnp.float32)  # [TI, A, 3]
-    mask = mask_ref[0][:, :, None].astype(jnp.float32)
+    mask = mask_ref[0].astype(jnp.float32)[:, :, None]
     gds = gds_ref[0].astype(jnp.float32)  # [TI, F]
     gdv = gdv_ref[0].astype(jnp.float32)  # [TI, 3F]
 
@@ -136,16 +138,11 @@ def _bwd_kernel(rbf_ref, phi_ref, v_ref, unit_ref, mask_ref, w_ref, b_ref,
 
     # cotangents of the masked message m = m_pre * phi_j * mask
     mbar_s = jnp.broadcast_to(gds[:, None, :], (ti, a, f))
-    mbar_vv = (
-        gdv[:, None, 0 * f : 1 * f] * v[None, :, 0 * f : 1 * f]
-        + gdv[:, None, 1 * f : 2 * f] * v[None, :, 1 * f : 2 * f]
-        + gdv[:, None, 2 * f : 3 * f] * v[None, :, 2 * f : 3 * f]
-    )
-    mbar_vs = (
-        gdv[:, None, 0 * f : 1 * f] * u[..., 0:1]
-        + gdv[:, None, 1 * f : 2 * f] * u[..., 1:2]
-        + gdv[:, None, 2 * f : 3 * f] * u[..., 2:3]
-    )
+    gdv_c = [gdv[:, c * f : (c + 1) * f] for c in range(3)]  # [TI,F] each
+    v_c = [v[:, c * f : (c + 1) * f] for c in range(3)]  # [A,F] each
+    u_c = [u[:, :, c] for c in range(3)]  # [TI,A] each
+    mbar_vv = sum(gdv_c[c][:, None] * v_c[c][None] for c in range(3))
+    mbar_vs = sum(gdv_c[c][:, None] * u_c[c][:, :, None] for c in range(3))
     mbar = jnp.concatenate([mbar_s, mbar_vv, mbar_vs], axis=-1) * mask  # [TI,A,3F]
 
     gm_pre = mbar * phi[None]  # cotangent of m_pre
@@ -154,10 +151,8 @@ def _bwd_kernel(rbf_ref, phi_ref, v_ref, unit_ref, mask_ref, w_ref, b_ref,
         gm_pre.reshape(ti * a, 3 * f), w.T, preferred_element_type=jnp.float32
     ).reshape(ti, a, r).astype(grbf_ref.dtype)
     # grad unit: Σ_f m3 * gdv_c
-    m3 = m_pre[..., 2 * f :] * phi[None, :, 2 * f :] * mask
-    gu = [
-        (m3 * gdv[:, None, c * f : (c + 1) * f]).sum(axis=-1) for c in range(3)
-    ]
+    m3 = m_pre[..., 2 * f :] * phi[:, 2 * f :][None] * mask
+    gu = [(m3 * gdv_c[c][:, None]).sum(axis=-1) for c in range(3)]
     gunit_ref[0] = jnp.stack(gu, axis=-1).astype(gunit_ref.dtype)
 
     # accumulated outputs (same block revisited across the grid): init at
@@ -178,10 +173,8 @@ def _bwd_kernel(rbf_ref, phi_ref, v_ref, unit_ref, mask_ref, w_ref, b_ref,
     ).astype(gw_ref.dtype)
     gb_ref[...] += gm_pre.sum(axis=(0, 1))[None].astype(gb_ref.dtype)
     gphi_ref[0] += (mbar * m_pre).sum(axis=0).astype(gphi_ref.dtype)  # [A,3F]
-    m2 = m_pre[..., f : 2 * f] * phi[None, :, f : 2 * f] * mask
-    gv_parts = [
-        (m2 * gdv[:, None, c * f : (c + 1) * f]).sum(axis=0) for c in range(3)
-    ]
+    m2 = m_pre[..., f : 2 * f] * phi[:, f : 2 * f][None] * mask
+    gv_parts = [(m2 * gdv_c[c][:, None]).sum(axis=0) for c in range(3)]
     gv_ref[0] += jnp.concatenate(gv_parts, axis=-1).astype(gv_ref.dtype)
 
 

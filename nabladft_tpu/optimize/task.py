@@ -116,8 +116,16 @@ def run_optimize_job(cfg: Dict[str, Any]) -> Dict[str, Any]:
     from nabladft_tpu.models import create_model
 
     m = cfg["model"]
-    model = create_model(m["name"], **m.get("kwargs", {}))
     o = cfg.get("optimize", {})
+    kwargs = dict(m.get("kwargs", {}))
+    # relaxation only needs first-order forces — use the fused Pallas path
+    if (
+        m["name"].lower() == "painn"
+        and o.get("use_pallas", True)
+        and jax.default_backend() == "tpu"
+    ):
+        kwargs.setdefault("use_pallas", "full")
+    model = create_model(m["name"], **kwargs)
     input_db = Path(cfg["datamodule"]["source"])
     # initialize params from a probe batch, then restore the checkpoint
     dataset = EnergyDataset(

@@ -73,8 +73,8 @@ def test_painn_model_pallas_path_matches_xla(rng):
 
     batch = make_batch(np.random.default_rng(0))
     kw = dict(hidden=16, n_interactions=2, n_rbf=8, max_neighbors=11)
-    m_x = create_model("painn", **kw, use_pallas=False, remat=False)
-    m_p = create_model("painn", **kw, use_pallas=True)
+    m_x = create_model("painn", **kw, use_pallas="off", remat=False)
+    m_p = create_model("painn", **kw, use_pallas="full")
     params = jax.jit(m_x.init)(jax.random.PRNGKey(0), batch)
     out_x = forward(m_x, params, batch)
     out_p = forward(m_p, params, batch)
