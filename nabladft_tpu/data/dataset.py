@@ -316,6 +316,19 @@ def seeded_random_split(
     return out
 
 
+def file_split(path) -> List[np.ndarray]:
+    """Load a fixed split from an .npz with train/validation[/test] index
+    arrays (reference file_split, hamiltonian_dataset.py:429; PhiSNet's
+    datasplits.npz convention)."""
+    d = np.load(path)
+    keys = [k for k in ("train_idx", "valid_idx", "test_idx") if k in d]
+    if not keys:
+        keys = [k for k in ("idx_train", "idx_valid", "idx_test") if k in d]
+    if not keys:
+        keys = list(d.keys())
+    return [np.asarray(d[k], np.int64) for k in keys]
+
+
 # ---------------------------------------------------------------------------
 # Loader
 # ---------------------------------------------------------------------------

@@ -49,7 +49,7 @@ logger = logging.getLogger(__name__)
 class TrainerConfig:
     max_epochs: int = 100
     max_steps: Optional[int] = None
-    optimizer: str = "adamw"  # adamw | adam | sgd
+    optimizer: str = "adamw"  # adamw | adam | amsgrad | sgd
     lr: float = 1e-4
     weight_decay: float = 0.0
     grad_clip: Optional[float] = None
@@ -66,6 +66,12 @@ class TrainerConfig:
     save_top_k: int = 3
     monitor: str = "val/loss"
     early_stopping_patience: Optional[int] = None
+    # validate every N optimizer steps in addition to epoch ends (large
+    # splits run few epochs; reference relies on max_steps instead)
+    val_every_n_steps: Optional[int] = None
+    # stop when the (plateau-driven) LR falls below this floor — PhiSNet's
+    # stop criterion (reference phisnet/train.py stop_at_learning_rate)
+    stop_at_lr: Optional[float] = None
     seed: int = 42
     n_dp: Optional[int] = None  # None = all devices
     profile_dir: Optional[str] = None
@@ -145,6 +151,8 @@ class Trainer:
         opts = {
             "adamw": lambda r: optax.adamw(r, weight_decay=cfg.weight_decay),
             "adam": lambda r: optax.adam(r),
+            # PhiSNet / GemNet-OC / eSCN train with amsgrad (their configs)
+            "amsgrad": lambda r: optax.amsgrad(r),
             "sgd": lambda r: optax.sgd(r, momentum=0.9),
         }
         core = optax.inject_hyperparams(
@@ -361,7 +369,28 @@ class Trainer:
                             host["lr"] = lr
                         self.loggers.log_metrics(host, step)
                         t_last = now
+                    if (
+                        cfg.val_every_n_steps
+                        and step % cfg.val_every_n_steps == 0
+                    ):
+                        mid = self.validate(datamodule.val_dataloader())
+                        mid["epoch"] = epoch
+                        self.loggers.log_metrics(mid, step)
+                        final_metrics = mid
+                        monitored = mid.get(cfg.monitor)
+                        if monitored is not None and cfg.schedule == "plateau":
+                            new_lr = self.plateau.step(monitored, cfg.lr)
+                            self.state = self.state.replace(
+                                opt_state=set_learning_rate(self.state.opt_state, new_lr)
+                            )
+                        if self.ckpt:
+                            self.ckpt.save(self.state, step, mid)
                     if cfg.max_steps and step >= cfg.max_steps:
+                        stop = True
+                        break
+                    lr_now = current_learning_rate(self.state.opt_state)
+                    if cfg.stop_at_lr and lr_now is not None and lr_now < cfg.stop_at_lr:
+                        logger.info("stopping: lr %.2e below floor", lr_now)
                         stop = True
                         break
 
