@@ -34,6 +34,21 @@ def seed_everything(seed: int) -> None:
     np.random.seed(seed)
 
 
+def load_envs(path: str = ".env") -> None:
+    """Export KEY=VALUE pairs from a .env file (reference loads .env via
+    python-dotenv at startup, utils/pipelines.py:44-47 — e.g. WANDB keys)."""
+    import os
+
+    p = Path(path)
+    if not p.exists():
+        return
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#") and "=" in line:
+            key, _, value = line.partition("=")
+            os.environ.setdefault(key.strip(), value.strip().strip("'\""))
+
+
 def check_cfg(cfg: Dict[str, Any]) -> None:
     job = cfg.get("job_type")
     if job not in JOB_TYPES:
@@ -137,6 +152,7 @@ def write_predictions_to_db(
 def run(cfg: Dict[str, Any]) -> Optional[Dict[str, float]]:
     """Entry point. Returns final metrics for train/test jobs."""
     check_cfg(cfg)
+    load_envs()
     seed_everything(cfg.get("seed", 42))
     job = cfg["job_type"]
 
