@@ -140,10 +140,10 @@ class PaiNN(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
-    # fused Pallas message kernel: "off" = pure XLA (any order of AD —
-    # training needs this: custom VJPs are once-differentiable); "full" =
-    # Pallas forward+backward for first-order paths (inference, relaxation
-    # forces, MD): ~2.3x forward, ~1.9x energy+forces on v5e
+    # fused Pallas message kernel: "off" = pure XLA (training needs this:
+    # reverse-over-reverse AD linearizes the graph, and custom-VJP ops do
+    # not support forward mode); "full" = Pallas fwd+bwd for first-order
+    # paths (inference, relaxation forces, MD): ~2.3x fwd, ~1.9x E+F on v5e
     use_pallas: str = "off"
 
     derivative_forces = True
