@@ -166,28 +166,56 @@ def collate_energy(
 # ---------------------------------------------------------------------------
 
 
+def _concat_records(parts: List[EnergyRecords]) -> EnergyRecords:
+    """Merge several splits into one column store (reference
+    PyGNablaDFT multi-file offsets, pyg_datasets.py:83-90)."""
+    if len(parts) == 1:
+        return parts[0]
+    offsets = [parts[0].offsets]
+    base = parts[0].offsets[-1]
+    for p in parts[1:]:
+        offsets.append(p.offsets[1:] + base)
+        base += p.offsets[-1]
+    return EnergyRecords(
+        z=np.concatenate([p.z for p in parts]),
+        pos=np.concatenate([p.pos for p in parts]),
+        energy=np.concatenate([p.energy for p in parts]),
+        forces=np.concatenate([p.forces for p in parts]),
+        offsets=np.concatenate(offsets),
+        row_ids=np.concatenate([p.row_ids for p in parts]),
+    )
+
+
 class EnergyDataset:
     """An energy split: columnar records + bucket assignment.
 
     Args:
-      source: path to an ASE db, or a registry split name
-        (e.g. "dataset_train_tiny") to auto-download into `root`.
+      source: path to an ASE db, a registry split name
+        (e.g. "dataset_train_tiny") to auto-download into `root`, or a
+        list of either (multi-file datasets concatenate).
     """
 
     def __init__(
         self,
-        source: str,
+        source,
         root: Optional[Path] = None,
         bucket_boundaries: Sequence[int] = (32, 48, 64),
     ):
-        path = Path(source)
-        if not path.exists():
-            root = Path(root or "datasets") / source
-            root.mkdir(parents=True, exist_ok=True)
-            path = root / "raw.db"
-            dataset_registry.download("energy", source, path)
-        self.path = path
-        self.records = parse_energy_db(path)
+        sources = [source] if isinstance(source, (str, Path)) else list(source)
+        parts = []
+        paths = []
+        for src in sources:
+            path = Path(src)
+            if not path.exists():
+                sub = Path(root or "datasets") / str(src)
+                sub.mkdir(parents=True, exist_ok=True)
+                path = sub / "raw.db"
+                dataset_registry.download("energy", str(src), path)
+            paths.append(path)
+            parts.append(parse_energy_db(path))
+        self.path = paths[0]
+        self.paths = paths
+        self.records = _concat_records(parts)
         self.bucket_boundaries = tuple(sorted(bucket_boundaries))
         self.bucket_of = assign_buckets(self.records.natoms_all, self.bucket_boundaries)
         n_dropped = int((self.bucket_of < 0).sum())

@@ -43,7 +43,13 @@ class BatchwiseOptimizeTask:
         damping: float = 1.0,
         alpha: float = 1.0,
         bucket_boundaries=(32, 48, 64),
+        trajectory_dir: Optional[Path] = None,
     ):
+        # trajectory_dir: write per-molecule extxyz endpoints (initial +
+        # relaxed; the reference dumps full per-step trajectories,
+        # optimizers.py:269-277 — the compiled loop keeps positions on
+        # device, so intermediate frames are not materialized)
+        self.trajectory_dir = Path(trajectory_dir) if trajectory_dir else None
         self.input_db = Path(input_db)
         self.output_db = Path(output_db)
         self.calculator = calculator
@@ -94,6 +100,16 @@ class BatchwiseOptimizeTask:
                     key_value_pairs=rec.key_value_pairs,
                     data=data,
                 )
+                if self.trajectory_dir is not None:
+                    from nabladft_tpu.utils.xyz import write_extxyz
+
+                    self.trajectory_dir.mkdir(parents=True, exist_ok=True)
+                    write_extxyz(
+                        self.trajectory_dir / f"mol_{mol_id}.extxyz",
+                        rec.numbers,
+                        [rec.positions, pos[slot][:n]],
+                        energies=[float("nan"), float(energy[slot])],
+                    )
                 n_done += 1
                 n_converged += int(converged[slot])
         # write in input-row order (reference task.py iterates input order)

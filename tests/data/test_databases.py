@@ -164,3 +164,28 @@ def test_datamodule(energy_db_path, tmp_path):
     n_train = sum(int(b.graph_mask.sum()) for b in dm.train_dataloader())
     n_val = sum(int(b.graph_mask.sum()) for b in dm.val_dataloader())
     assert n_train == 80 and n_val == 20
+
+
+def test_multifile_energy_dataset(energy_db_path, tmp_path):
+    import shutil
+
+    a, b = tmp_path / "a.db", tmp_path / "b.db"
+    shutil.copy(energy_db_path, a)
+    shutil.copy(energy_db_path, b)
+    ds = EnergyDataset([str(a), str(b)])
+    assert len(ds) == 200
+    assert ds.records.offsets[-1] == 2 * 4198
+
+
+def test_extxyz_writer(tmp_path, rng):
+    from nabladft_tpu.utils.xyz import write_extxyz
+
+    z = np.array([6, 1, 1])
+    frames = [rng.normal(size=(3, 3)), rng.normal(size=(3, 3))]
+    p = tmp_path / "traj.extxyz"
+    write_extxyz(p, z, frames, energies=[-1.0, -2.0])
+    lines = p.read_text().splitlines()
+    assert lines[0] == "3"
+    assert "energy=" in lines[1]
+    assert lines[2].startswith("C ")
+    assert len(lines) == 2 * 5
