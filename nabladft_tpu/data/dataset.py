@@ -217,10 +217,17 @@ class EnergyDataset:
         self.paths = paths
         self.records = _concat_records(parts)
         self.bucket_boundaries = tuple(sorted(bucket_boundaries))
+        max_atoms = int(self.records.natoms_all.max()) if len(self.records) else 0
+        if max_atoms > self.bucket_boundaries[-1]:
+            # never drop data silently: grow a final bucket to cover the
+            # largest molecule (one extra compiled program)
+            extra = round_up(max_atoms, 8)
+            logger.warning(
+                "molecules up to %d atoms exceed the largest bucket %d; "
+                "adding bucket %d", max_atoms, self.bucket_boundaries[-1], extra,
+            )
+            self.bucket_boundaries = (*self.bucket_boundaries, extra)
         self.bucket_of = assign_buckets(self.records.natoms_all, self.bucket_boundaries)
-        n_dropped = int((self.bucket_of < 0).sum())
-        if n_dropped:
-            logger.warning("%d molecules exceed the largest bucket and are dropped", n_dropped)
 
     def __len__(self) -> int:
         return len(self.records)

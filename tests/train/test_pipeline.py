@@ -106,3 +106,17 @@ def test_all_model_configs_instantiate():
         cfg = yaml.safe_load(f.read_text())
         model = create_model(cfg["name"], **cfg.get("kwargs", {}))
         assert model is not None, f
+
+
+def test_cli_override_parsing():
+    from nabladft_tpu.cli import _parse_overrides
+
+    out = _parse_overrides(
+        ["trainer.max_epochs=3", "model.kwargs.hidden=64", "name=run-1",
+         "datamodule.bucket_boundaries=[32, 64]", "trainer.lr=1e-3"]
+    )
+    assert out["trainer"]["max_epochs"] == 3
+    assert out["model"]["kwargs"]["hidden"] == 64
+    assert out["name"] == "run-1"
+    assert out["datamodule"]["bucket_boundaries"] == [32, 64]
+    assert out["trainer"]["lr"] == 1e-3
