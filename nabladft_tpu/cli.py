@@ -18,11 +18,17 @@ from nabladft_tpu.config import load_config
 from nabladft_tpu.pipelines import run
 
 
+_FLOAT_RE = __import__("re").compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def _parse_overrides(pairs) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for pair in pairs:
         key, _, raw = pair.partition("=")
         value = yaml.safe_load(raw)
+        # YAML 1.1 leaves '1e-3' (no dot) as a string — users mean a float
+        if isinstance(value, str) and _FLOAT_RE.match(value):
+            value = float(value)
         node = out
         parts = key.split(".")
         for p in parts[:-1]:
