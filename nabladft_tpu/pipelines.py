@@ -104,6 +104,12 @@ def build_trainer(cfg: Dict[str, Any], datamodule: Optional[DataModule] = None) 
                 int(z): tuple(int(l) for l in db.get_orbitals(z)) for z in elements
             }
     model = create_model(m["name"], **kwargs)
+    eval_model = None
+    # dropout-carrying models (Graphormer3D, EquiformerV2) train stochastic
+    # and evaluate deterministic (reference Lightning train/eval modes)
+    if hasattr(type(model), "deterministic") and "deterministic" not in kwargs:
+        model = create_model(m["name"], **kwargs, deterministic=False)
+        eval_model = create_model(m["name"], **kwargs, deterministic=True)
     t = dict(cfg.get("trainer", {}))
     for k, v in m.get("trainer_overrides", {}).items():
         t.setdefault(k, v)
@@ -121,7 +127,7 @@ def build_trainer(cfg: Dict[str, Any], datamodule: Optional[DataModule] = None) 
 
         loggers.append(WandbLogger(cfg["wandb"].get("project", "nablaDFT-tpu"),
                                    name=cfg.get("name")))
-    return Trainer(model, tcfg, loggers=MultiLogger(loggers))
+    return Trainer(model, tcfg, loggers=MultiLogger(loggers), eval_model=eval_model)
 
 
 def write_predictions_to_db(

@@ -195,7 +195,8 @@ class Trainer:
         batch = jax.tree_util.tree_map(jnp.asarray, example_batch)
         # jit the init: eager flax init dispatches each op separately, which
         # is pathologically slow on remote/tunneled TPU backends
-        params = jax.jit(self.model.init)(jax.random.PRNGKey(self.cfg.seed), batch)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self.cfg.seed))
+        params = jax.jit(self.model.init)({"params": k1, "dropout": k2}, batch)
         self.state = TrainState.create(params, self.tx, ema=self.cfg.ema_decay > 0)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info(

@@ -117,3 +117,27 @@ def test_dp_sharding_matches_single_device(toy_data):
         trainer.fit(ToyModule(toy_data))
         results[n_dp] = trainer.validate(toy_data)["val/loss"]
     assert results[1] == pytest.approx(results[8], rel=2e-4), results
+
+
+def test_dropout_model_train_eval_pair(toy_data):
+    """Graphormer trains stochastic, evaluates deterministic."""
+    model = create_model(
+        "graphormer3d", blocks=1, layers=1, embed_dim=16, ffn_embed_dim=16,
+        attention_heads=2, num_kernel=8, deterministic=False,
+    )
+    eval_model = create_model(
+        "graphormer3d", blocks=1, layers=1, embed_dim=16, ffn_embed_dim=16,
+        attention_heads=2, num_kernel=8, deterministic=True,
+    )
+    cfg = TrainerConfig(
+        max_epochs=1, lr=1e-3, schedule="constant", log_every_n_steps=1000,
+        loss_specs={"energy": "mse", "forces": "mse"},
+        loss_coefs={"energy": 1.0, "forces": 0.1}, n_dp=1,
+    )
+    trainer = Trainer(model, cfg, eval_model=eval_model)
+    trainer.fit(ToyModule(toy_data))
+    m = trainer.validate(toy_data)
+    assert np.isfinite(m["val/loss"])
+    # deterministic eval: same batch twice gives identical metrics
+    m2 = trainer.validate(toy_data)
+    assert m["val/loss"] == m2["val/loss"]
