@@ -16,8 +16,6 @@ host-precomputed triplet index arrays. Interaction blocks are wrapped in
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

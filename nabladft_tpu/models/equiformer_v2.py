@@ -20,7 +20,7 @@ equivariant. alpha/drop-path dropout via the `deterministic` flag.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ memory peak, recomputed in backward.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 from typing import List, Tuple
 

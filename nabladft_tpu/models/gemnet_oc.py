@@ -23,15 +23,12 @@ TPU re-design highlights:
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
-from nabladft_tpu.models.base import MLP, ModelOutput, register_model
+from nabladft_tpu.models.base import ModelOutput, register_model
 from nabladft_tpu.ops import graph, radial
 from nabladft_tpu.ops.spherical import legendre_polynomials
 

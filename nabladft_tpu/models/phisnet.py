@@ -27,7 +27,6 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
@@ -39,7 +38,6 @@ from nabladft_tpu.models.qhnet import (
     OrbitalLayout,
     expansion_weight_counts,
 )
-import nabladft_tpu.models.qhnet as qhnet_mod
 from nabladft_tpu.ops import graph, so3
 from nabladft_tpu.ops.radial import ExpBernsteinRBF
 

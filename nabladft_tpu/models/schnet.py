@@ -14,7 +14,6 @@ chain into a handful of MXU/VPU kernels, nothing is scatter-bound.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from nabladft_tpu.data.atomref import atomrefs_for

@@ -27,11 +27,8 @@ interpret mode (CPU) and compiled on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 TILE_I = 8  # receivers per program

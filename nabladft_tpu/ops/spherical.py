@@ -10,7 +10,6 @@ bases) and, through `ops.so3`, by the equivariant models.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 from typing import Tuple
 

@@ -10,7 +10,7 @@ so there is no repeated host-side property protocol to memoize.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 

@@ -21,7 +21,6 @@ Semantics parity:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -13,7 +13,6 @@ factor sqrt(amu·Å²/Hartree): dt is supplied in fs and converted.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

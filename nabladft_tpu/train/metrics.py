@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def batch_metric_sums(out: Dict, batch) -> Dict[str, jnp.ndarray]:
