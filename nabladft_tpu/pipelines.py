@@ -55,7 +55,11 @@ def check_cfg(cfg: Dict[str, Any]) -> None:
         raise ValueError(f"job_type must be one of {JOB_TYPES}, got {job!r}")
     if cfg.get("ckpt_path") and cfg.get("pretrained"):
         raise ValueError("ckpt_path and pretrained are mutually exclusive")
-    if job == "predict" and cfg.get("task", "energy") == "hamiltonian":
+    is_ham = (
+        cfg.get("task", "energy") == "hamiltonian"
+        or cfg.get("datamodule", {}).get("kind") == "hamiltonian"
+    )
+    if job == "predict" and is_ham:
         raise ValueError("predict job is not supported for Hamiltonian models")
 
 
