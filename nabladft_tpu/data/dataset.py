@@ -285,6 +285,18 @@ class HamiltonianDataset:
         self.bucket_of = np.where(
             (ab >= 0) & (ob >= 0), ab * len(self.orbital_boundaries) + ob, -1
         ).astype(np.int32)
+        n_dropped = int((self.bucket_of < 0).sum())
+        if n_dropped:
+            # Hamiltonian budget caps intentionally drop oversize samples
+            # (reference hamiltonian_dataset.py:354-405 budget filtering) —
+            # but never silently
+            logger.warning(
+                "%d molecules exceed the atom/orbital budget caps and are "
+                "dropped (largest: %d atoms / %d orbitals)",
+                n_dropped,
+                int(self.records.natoms_all.max()),
+                int(self.records.norb_all.max()),
+            )
 
     def __len__(self) -> int:
         return len(self.records)

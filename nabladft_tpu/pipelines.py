@@ -185,7 +185,10 @@ def run(cfg: Dict[str, Any]) -> Optional[Dict[str, float]]:
         ckpt_path = None
 
     if job == "train":
-        return trainer.fit(dm, ckpt_path=ckpt_path)
+        try:
+            return trainer.fit(dm, ckpt_path=ckpt_path)
+        finally:
+            trainer.loggers.finalize()  # reference close_loggers parity
     if ckpt_path:
         from flax import serialization
 
