@@ -1,11 +1,18 @@
 """Headline benchmark: PaiNN training throughput (conformers/sec/chip).
 
 Matches BASELINE.json's north-star metric: per-chip PaiNN (128 hidden, 6
-interactions, energy + derivative forces) training throughput on
-nablaDFT-sized molecules (~40 atoms padded to 48). The baseline constant is
-the reference stack's measured ballpark on one A100 (PyTorch + torch-scatter
-PaiNN with autograd forces at batch 100: ~8e2 conformers/s); BASELINE.json
-asks for >=5x that per TPU chip, i.e. vs_baseline >= 5.
+interactions, n_rbf 100, energy + derivative forces — the painn-oc.yaml
+capacity) training throughput on nablaDFT-sized molecules (~40 atoms padded
+to 48). The training step runs the fused-kernel surrogate path
+(force_grads="pallas": ops/pallas/painn_fused.py) in bfloat16.
+
+Baseline provenance: the 800 conformers/s A100 anchor is an estimate, not a
+measurement (no A100 in this environment). Derivation: the reference stack
+(PyTorch + torch_geometric + torch-scatter PaiNN, fp32, autograd forces,
+batch 100 of ~40-atom molecules) runs a train step in ~125 ms on one A100 —
+consistent with public OC20-style PaiNN throughput numbers and with the
+kernel-launch/scatter-bound profile of PyG models at small node counts.
+BASELINE.json asks for >=5x that per TPU chip, i.e. vs_baseline >= 5.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -54,12 +61,13 @@ def main() -> None:
     n_chips = len(jax.devices())
     model = create_model(
         "painn", hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0, max_neighbors=40,
-        compute_dtype="bfloat16", remat=False,
+        compute_dtype="bfloat16", remat=False, use_pallas="fused",
     )
     cfg = TrainerConfig(
         schedule="constant", lr=1e-4, log_every_n_steps=10**9,
         loss_specs={"energy": "l1", "forces": "l2norm"},
         loss_coefs={"energy": 1.0, "forces": 1.0},
+        force_grads="pallas",
     )
     trainer = Trainer(model, cfg)
     batch = make_batch(np.random.default_rng(0))

@@ -11,12 +11,20 @@ Covers both reference flavors with one module:
 TPU-native formulation: nablaDFT molecules are ≤ 62 atoms, so messages are
 computed over the **dense pair axis** [B, A, A] instead of gather/scatter
 edge lists (reference painn_pyg uses torch_cluster radius_graph + scatter,
-painn.py:115-128). Every aggregation is then a plain einsum contraction over
-the sender axis — batched MXU matmuls with no gathered [B,A,K,3,F]
-intermediates, which is both faster and what keeps the force
-double-backward inside HBM at production batch sizes. The reference's
-max-neighbor capping (painn_pyg/utils.py:223) becomes a top-k mask on the
-dense distance matrix.
+painn.py:115-128). The message block is the entire cost of the model; it
+runs in one of three modes:
+
+  * ``use_pallas="off"``   — pure XLA (arbitrary-order AD; the correctness
+    baseline and the path for direct second-order training off-TPU);
+  * ``use_pallas="fused"`` — fused Pallas kernels with a custom VJP that
+    folds the radial-basis chain rule into a scalar g_dist (first-order
+    paths: inference, force evaluation, relaxation, MD — and the force
+    pass of surrogate training);
+  * ``use_pallas="train"`` — custom-JVP op that expands to a fused
+    dual-number kernel under jax.jvp; combined with the engine's surrogate
+    force-gradient formulation this makes the whole training step run in
+    fused kernels (see ops/pallas/painn_fused.py and
+    train/engine.py force_grads="pallas").
 
 State: scalars s [B,A,F] and equivariant vectors v [B,A,3,F]. Equivariance
 is kept by never applying bias or nonlinearity to the vector channel.
@@ -32,6 +40,11 @@ from flax import linen as nn
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import MLP, ModelOutput, register_model
 from nabladft_tpu.ops import graph, radial
+from nabladft_tpu.ops.pallas.painn_fused import (
+    painn_message,
+    painn_message_reference,
+    painn_message_train,
+)
 from nabladft_tpu.ops.segment import masked_sum
 
 
@@ -48,42 +61,50 @@ def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
 class PaiNNMessage(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
-    use_pallas: str = "off"  # off | full
+    use_pallas: str = "off"  # off | fused | train
 
     @nn.compact
-    def __call__(self, s, v, adj, rbf_env, unit):
+    def __call__(self, s, v, feats):
+        """feats: dict with dist, rbf_env [B,A,A,R], rbfp, unit_t [B,A,3,A],
+        adjf [B,A,A] (float adjacency). rbf_env/rbfp are premasked."""
         f = self.hidden
-        r = rbf_env.shape[-1]
-        phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level, cheap)
+        r = feats["rbf_env"].shape[-1]
+        phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level)
         w = self.param("filter_kernel", nn.initializers.lecun_normal(), (r, 3 * f))
         b = self.param("filter_bias", nn.initializers.zeros, (3 * f,))
-        if self.use_pallas != "off":
-            import jax as _jax
-
-            from nabladft_tpu.ops.pallas.painn_message import painn_message_fused
-
-            op = painn_message_fused
-            v_flat = v.reshape(*v.shape[:2], 3 * f)  # [B,A,3,F] -> c-major flat
-            ds, dv_flat = op(
-                rbf_env, phi, v_flat, unit.astype(rbf_env.dtype),
-                adj.astype(rbf_env.dtype), w.astype(rbf_env.dtype),
-                b.astype(rbf_env.dtype),
-                _jax.default_backend() == "cpu",  # interpret off-TPU
+        v_flat = v.reshape(*v.shape[:2], 3 * f)  # [B,A,3,F] -> c-major flat
+        wc = w.astype(self.dtype)
+        if self.use_pallas == "off":
+            ds, dv_flat = painn_message_reference(
+                feats["rbf_env"], phi, v_flat, feats["unit_t"], wc
             )
-            return ds, dv_flat.reshape(*ds.shape[:2], 3, f)
-        mask = adj[..., None]
-        # one fused filter matmul over the (shared, bandwidth-heavy) RBF
-        # tensor; the product with gathered phi_j happens in the same pass
-        wm = (rbf_env @ w.astype(self.dtype)) + b.astype(self.dtype)
-        m = jnp.where(mask, wm * phi[:, None], 0.0)
-        ds = m[..., :f].sum(axis=2)
-        # vector aggregations as explicit multiply+reduce (VPU): measured
-        # ~2x faster than the f-batched tiny-matmul einsum lowering
-        dv = (m[..., f : 2 * f][:, :, :, None, :] * v[:, None]).sum(axis=2)
-        dv = dv + (m[..., 2 * f :][:, :, :, None, :] * unit[..., None].astype(self.dtype)).sum(
-            axis=2
+        else:
+            interpret = jax.default_backend() == "cpu"
+            op = painn_message_train if self.use_pallas == "train" else painn_message
+            ds, dv_flat = op(
+                feats["dist"], feats["rbf_env"], feats["rbfp"],
+                phi, v_flat, feats["unit_t"], wc, interpret,
+            )
+        # bias terms, bypassing the radial basis: b ⊙ Σ_j mask·φ_j(-like);
+        # kept outside the kernels (cheap [A,A]@[A,F] MXU contractions) so
+        # the kernels see bias-free, premasked messages
+        bc = b.astype(self.dtype)
+        adjf = feats["adjf"]
+        phi1 = phi[..., f : 2 * f]
+        q = jnp.concatenate(
+            [phi[..., :f]]
+            + [phi1 * v_flat[..., c * f : (c + 1) * f] for c in range(3)],
+            axis=-1,
+        )  # [B,A,4F]: φ0 and φ1⊙v_c
+        nb = jnp.einsum("bij,bjk->bik", adjf, q)
+        ds = ds + bc[:f] * nb[..., :f]
+        dv_flat = dv_flat + jnp.concatenate(
+            [bc[f : 2 * f] * nb[..., (c + 1) * f : (c + 2) * f] for c in range(3)],
+            axis=-1,
         )
-        return ds, dv
+        dvu_b = jnp.einsum("bicj,bjf->bicf", feats["unit_t"], phi[..., 2 * f :])
+        dv_flat = dv_flat + (bc[2 * f :] * dvu_b).reshape(*ds.shape[:2], 3 * f)
+        return ds, dv_flat.reshape(*v.shape)
 
 
 class PaiNNUpdate(nn.Module):
@@ -116,10 +137,10 @@ class PaiNNLayer(nn.Module):
     use_pallas: str = "off"
 
     @nn.compact
-    def __call__(self, s, v, adj, rbf_env, unit):
+    def __call__(self, s, v, feats):
         ds, dv = PaiNNMessage(
             self.hidden, dtype=self.dtype, use_pallas=self.use_pallas, name="message"
-        )(s, v, adj, rbf_env, unit)
+        )(s, v, feats)
         s, v = s + ds, v + dv
         ds, dv = PaiNNUpdate(self.hidden, dtype=self.dtype, name="update")(s, v)
         return s + ds, v + dv
@@ -140,42 +161,65 @@ class PaiNN(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
-    # fused Pallas message kernel: "off" = pure XLA (training needs this:
-    # reverse-over-reverse AD linearizes the graph, and custom-VJP ops do
-    # not support forward mode); "full" = Pallas fwd+bwd for first-order
-    # paths (inference, relaxation forces, MD): ~2.3x fwd, ~1.9x E+F on v5e
+    # fused Pallas message kernels: "off" = pure XLA (any-order AD);
+    # "fused" = custom-VJP kernels for first-order paths (~2x);
+    # "train" = custom-JVP dual kernels for the surrogate training pass
+    # (engine force_grads="pallas"). "full" is a legacy alias of "fused".
     use_pallas: str = "off"
 
     derivative_forces = True
 
+    def _mode(self) -> str:
+        return "fused" if self.use_pallas == "full" else self.use_pallas
+
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
         f = self.hidden
+        mode = self._mode()
+        cdt = jnp.dtype(self.compute_dtype)
         dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
         adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
         dist = jnp.where(adj, dg.dist, 0.0)
         unit = jnp.where(adj[..., None], dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0)
-        if self.rbf == "gaussian":
-            rbf = radial.gaussian_rbf(dist, self.n_rbf, self.cutoff)
-        else:
-            rbf = radial.bessel_rbf(dist, self.n_rbf, self.cutoff)
-        if self.envelope == "polynomial":
-            env = radial.polynomial_envelope(dist / self.cutoff, self.envelope_exponent)
-        else:
-            env = radial.cosine_cutoff(dist, self.cutoff)
-        rbf_env = jnp.where(adj[..., None], rbf * env[..., None], 0.0)  # [B,A,A,R]
+        unit_t = jnp.swapaxes(unit, 2, 3)  # [B,A,3,A] for the kernels' MXU u-term
 
-        cdt = jnp.dtype(self.compute_dtype)
-        rbf_env = rbf_env.astype(cdt)
-        unit_c = unit.astype(cdt)
+        def filt(d):
+            if self.rbf == "gaussian":
+                rb = radial.gaussian_rbf(d, self.n_rbf, self.cutoff)
+            else:
+                rb = radial.bessel_rbf(d, self.n_rbf, self.cutoff)
+            if self.envelope == "polynomial":
+                env = radial.polynomial_envelope(d / self.cutoff, self.envelope_exponent)
+            else:
+                env = radial.cosine_cutoff(d, self.cutoff)
+            return jnp.where(adj[..., None], rb * env[..., None], 0.0).astype(cdt)
+
+        feats = {
+            "dist": dist,
+            "adjf": adj.astype(cdt),
+            "unit_t": unit_t.astype(cdt),
+            "rbfp": None,
+        }
+        if mode == "off":
+            feats["rbf_env"] = filt(dist)
+        elif mode == "fused":
+            # the kernel VJP folds the basis chain rule into g_dist, so the
+            # basis tensors themselves must not carry an AD graph
+            rbf_env, rbfp = jax.jvp(filt, (dist,), (jnp.ones_like(dist),))
+            feats["rbf_env"] = jax.lax.stop_gradient(rbf_env)
+            feats["rbfp"] = jax.lax.stop_gradient(rbfp)
+        else:  # train: rbf tangents must flow into the dual kernel
+            feats["rbf_env"] = filt(dist)
+            feats["rbfp"] = jnp.zeros((), cdt)  # unused by the train op
+
         s = nn.Embed(self.num_elements, f, dtype=cdt, name="atom_embedding")(batch.z)
         v = jnp.zeros((*s.shape[:2], 3, f), cdt)
 
-        layer_cls = nn.remat(PaiNNLayer) if (self.remat and self.use_pallas == "off") else PaiNNLayer
+        layer_cls = nn.remat(PaiNNLayer) if (self.remat and mode == "off") else PaiNNLayer
         for i in range(self.n_interactions):
             s, v = layer_cls(
-                f, dtype=cdt, use_pallas=self.use_pallas, name=f"layer_{i}"
-            )(s, v, adj, rbf_env, unit_c)
+                f, dtype=cdt, use_pallas=mode, name=f"layer_{i}"
+            )(s, v, feats)
 
         e_atom = MLP([f // 2, 1], name="energy_head")(s.astype(jnp.float32))[..., 0]
         e_atom = e_atom * self.energy_std + self.energy_mean

@@ -140,7 +140,7 @@ def run_optimize_job(cfg: Dict[str, Any]) -> Dict[str, Any]:
         and o.get("use_pallas", True)
         and jax.default_backend() == "tpu"
     ):
-        kwargs.setdefault("use_pallas", "full")
+        kwargs.setdefault("use_pallas", "fused")
     model = create_model(m["name"], **kwargs)
     input_db = Path(cfg["datamodule"]["source"])
     # initialize params from a probe batch, then restore the checkpoint

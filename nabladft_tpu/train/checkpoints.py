@@ -42,9 +42,19 @@ class CheckpointManager:
     def _save_state(self, state: Any, path: Path) -> None:
         path.write_bytes(serialization.to_bytes(state))
 
-    def save(self, state: Any, step: int, metrics: Dict[str, float]) -> None:
+    def save(
+        self,
+        state: Any,
+        step: int,
+        metrics: Dict[str, float],
+        aux: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """`aux` carries host-side scheduler state (plateau counters, ...) —
+        the analog of Lightning persisting lr-scheduler state in ckpts."""
         last_path = self.dir / "last.ckpt"
         self._save_state(state, last_path)
+        if aux is not None:
+            (self.dir / "last.ckpt.aux.json").write_text(json.dumps(aux))
         self._index["last"] = {"path": last_path.name, "step": step, "metrics": metrics}
 
         score = metrics.get(self.monitor)
@@ -62,12 +72,27 @@ class CheckpointManager:
             keep, drop = best[: self.top_k], best[self.top_k :]
             if entry in keep:
                 self._save_state(state, self.dir / entry["path"])
+                if aux is not None:
+                    (self.dir / (entry["path"] + ".aux.json")).write_text(json.dumps(aux))
             for e in drop:
                 p = self.dir / e["path"]
                 if p.exists() and e["path"] != entry["path"]:
                     p.unlink()
+                    paux = self.dir / (e["path"] + ".aux.json")
+                    if paux.exists():
+                        paux.unlink()
             self._index["best"] = keep
         self._write_index()
+
+    def read_aux(self, path: Optional[Path] = None) -> Optional[Dict[str, Any]]:
+        """Host-side scheduler state saved alongside a checkpoint, if any."""
+        path = Path(path) if path else self.last_path()
+        if path is None:
+            return None
+        paux = path.parent / (path.name + ".aux.json")
+        if paux.exists():
+            return json.loads(paux.read_text())
+        return None
 
     def best_path(self) -> Optional[Path]:
         best = self._index.get("best") or []

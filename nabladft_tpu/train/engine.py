@@ -81,12 +81,18 @@ class TrainerConfig:
     loss_coefs: Dict[str, float] = field(
         default_factory=lambda: {"energy": 1.0, "forces": 1.0}
     )
-    # forward-over-reverse force-loss gradients for derivative-force
-    # models: ∂/∂θ Σ w·F is taken as the grad of a JVP in direction
-    # w = ∂L_f/∂F (stop-grad) instead of reverse-over-reverse — same
-    # gradient (tested), much lighter on memory; on v5e the direct
-    # second-order path is currently slightly faster, so this is opt-in
-    # (use it when memory, not time, is the binding constraint)
+    # force-loss gradient implementation for derivative-force models:
+    #   "direct"    — reverse-over-reverse AD (any model, any platform);
+    #   "surrogate" — forward-over-reverse: ∂/∂θ Σ w·F is the grad of a JVP
+    #                 in direction w = ∂L_f/∂F (stop-grad); same gradient
+    #                 (tested), lighter on memory;
+    #   "pallas"    — the surrogate with the model's fused kernel modes: the
+    #                 force pass runs use_pallas="fused" (custom VJP) and
+    #                 the JVP lane use_pallas="train" (custom JVP → dual
+    #                 kernel). Requires a model with a `use_pallas` field
+    #                 (PaiNN); ~2.5x faster than "direct" on TPU.
+    force_grads: str = "direct"
+    # legacy alias: True ≡ force_grads="surrogate"
     fast_force_grads: bool = False
 
 
@@ -103,6 +109,16 @@ class Trainer:
         self.model = model
         self.eval_model = eval_model or model
         self.cfg = config
+        self._force_grads = config.force_grads
+        if config.fast_force_grads and self._force_grads == "direct":
+            self._force_grads = "surrogate"
+        if self._force_grads == "pallas":
+            if not hasattr(model, "use_pallas"):
+                raise ValueError("force_grads='pallas' needs a model with use_pallas")
+            self._model_fused = model.clone(use_pallas="fused")
+            self._model_dual = model.clone(use_pallas="train")
+        else:
+            self._model_fused = self._model_dual = model
         self.loggers = loggers or StdoutLogger()
         self.mesh = make_mesh(n_dp=config.n_dp)
         self.n_dp = self.mesh.shape["dp"]
@@ -215,17 +231,25 @@ class Trainer:
 
     def _surrogate_grads(self, params, batch: MolBatch, rngs):
         """Gradients for energy+derivative-forces losses via one reverse
-        pass for F and one reverse-over-JVP pass for the mixed term."""
+        pass for F and one reverse-over-JVP pass for the mixed term.
+
+        In force_grads="pallas" mode the reverse pass runs the fused-kernel
+        model and the JVP lane runs the dual-kernel model (same params)."""
         cfg = self.cfg
         nmask3 = batch.node_mask[..., None]
         kwargs = {"rngs": rngs} if rngs else {}
 
-        def e_fn(params, pos):
-            out = self.model.apply(params, batch.replace(pos=pos), **kwargs)
+        def e_fn_rev(params, pos):
+            out = self._model_fused.apply(params, batch.replace(pos=pos), **kwargs)
             e = jnp.where(batch.graph_mask, out["energy"], 0.0)
             return e.sum(), out
 
-        (_, out), gpos = jax.value_and_grad(e_fn, argnums=1, has_aux=True)(
+        def e_fn(params, pos):
+            out = self._model_dual.apply(params, batch.replace(pos=pos), **kwargs)
+            e = jnp.where(batch.graph_mask, out["energy"], 0.0)
+            return e.sum(), out
+
+        (_, out), gpos = jax.value_and_grad(e_fn_rev, argnums=1, has_aux=True)(
             params, batch.pos
         )
         forces = -gpos * nmask3
@@ -265,7 +289,7 @@ class Trainer:
             return losses["total"], (losses, out)
 
         use_surrogate = (
-            self.cfg.fast_force_grads
+            self._force_grads in ("surrogate", "pallas")
             and getattr(self.model, "derivative_forces", False)
             and "forces" in self.cfg.loss_specs
         )
@@ -301,6 +325,24 @@ class Trainer:
         metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return new_state, metrics
 
+    def _ckpt_aux(self):
+        if self.cfg.schedule != "plateau":
+            return None
+        return {
+            "plateau": {
+                "best": self.plateau.best,
+                "bad_epochs": self.plateau.bad_epochs,
+                "multiplier": self.plateau.multiplier,
+            }
+        }
+
+    def _restore_aux(self, aux) -> None:
+        if aux and "plateau" in aux:
+            p = aux["plateau"]
+            self.plateau.best = p["best"]
+            self.plateau.bad_epochs = p["bad_epochs"]
+            self.plateau.multiplier = p["multiplier"]
+
     def _eval_params(self, state: TrainState):
         if self.cfg.ema_decay > 0 and self.cfg.eval_with_ema and state.ema_params is not None:
             return state.ema_params
@@ -329,6 +371,9 @@ class Trainer:
         if ckpt_path:
             assert self.ckpt is not None
             self.state, step = self.ckpt.restore(self.state, Path(ckpt_path))
+            # reference parity: Lightning persists lr-scheduler state in
+            # checkpoints; restore the plateau counters alongside
+            self._restore_aux(self.ckpt.read_aux(Path(ckpt_path)))
 
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)
@@ -384,7 +429,7 @@ class Trainer:
                                 opt_state=set_learning_rate(self.state.opt_state, new_lr)
                             )
                         if self.ckpt:
-                            self.ckpt.save(self.state, step, mid)
+                            self.ckpt.save(self.state, step, mid, aux=self._ckpt_aux())
                     if cfg.max_steps and step >= cfg.max_steps:
                         stop = True
                         break
@@ -407,7 +452,7 @@ class Trainer:
                             opt_state=set_learning_rate(self.state.opt_state, new_lr)
                         )
                     if self.ckpt:
-                        self.ckpt.save(self.state, step, val_metrics)
+                        self.ckpt.save(self.state, step, val_metrics, aux=self._ckpt_aux())
                     if monitored < best - 1e-12:
                         best, bad_epochs = monitored, 0
                     else:
@@ -419,7 +464,7 @@ class Trainer:
                             logger.info("early stopping at epoch %d", epoch)
                             stop = True
                 elif self.ckpt:
-                    self.ckpt.save(self.state, step, val_metrics)
+                    self.ckpt.save(self.state, step, val_metrics, aux=self._ckpt_aux())
                 if stop:
                     break
         finally:

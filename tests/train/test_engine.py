@@ -141,3 +141,31 @@ def test_dropout_model_train_eval_pair(toy_data):
     # deterministic eval: same batch twice gives identical metrics
     m2 = trainer.validate(toy_data)
     assert m["val/loss"] == m2["val/loss"]
+
+
+def test_force_grads_impls_agree(toy_data):
+    """direct / surrogate / pallas force-gradient paths produce the same
+    update (pallas kernels run in interpret mode on CPU)."""
+    import jax
+
+    batch = toy_data[0]
+    losses = {}
+    for impl, pallas in (("direct", "off"), ("surrogate", "off"), ("pallas", "off")):
+        model = create_model(
+            "painn", hidden=16, n_interactions=2, n_rbf=8, max_neighbors=7,
+            use_pallas=pallas,
+        )
+        cfg = TrainerConfig(
+            max_epochs=1, lr=1e-3, schedule="constant", log_every_n_steps=1000,
+            loss_specs={"energy": "l1", "forces": "l2norm"},
+            loss_coefs={"energy": 1.0, "forces": 1.0}, n_dp=1,
+            force_grads=impl,
+        )
+        trainer = Trainer(model, cfg)
+        trainer.init_state(batch)
+        state, metrics = trainer._jit_train_step(trainer.state, batch)
+        # run a second step so the compared loss reflects the first update
+        state, metrics = trainer._jit_train_step(state, batch)
+        losses[impl] = float(metrics["train/total"])
+    assert losses["direct"] == pytest.approx(losses["surrogate"], rel=1e-4)
+    assert losses["direct"] == pytest.approx(losses["pallas"], rel=1e-4)
