@@ -1,0 +1,138 @@
+"""Accuracy-parity experiment: train SchNet / PaiNN on real nablaDFT data.
+
+With network egress this trains on the published `dataset_train_tiny` split
+(2k conformers) and evaluates against the README MAE tables
+(reference README.md:267-280 SchNet tiny 1.17e-2 Eh / 0.44e-2 Eh/Å;
+README.md:312-325 PaiNN tiny 0.82e-2 / 0.37e-2). Without egress (this
+environment) it falls back to the reference's committed 100-conformer
+fixture DB (real DFT labels, tests/data/raw/test_database.db) with an
+80/10/10 split — a learnability datapoint, not split parity; the gap
+analysis lives in STATUS.md.
+
+Usage: python examples/train_accuracy.py [--model schnet|painn] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from nabladft_tpu.data.dataset import (
+    BucketedLoader,
+    DataModule,
+    EnergyDataset,
+    LoaderConfig,
+    seeded_random_split,
+)
+from nabladft_tpu.models import create_model
+from nabladft_tpu.train import Trainer, TrainerConfig
+
+FIXTURE_DB = Path("/root/reference/tests/data/raw/test_database.db")
+
+MODEL_KW = {
+    # config/model/schnet.yaml: 6 interactions, 128 basis, RBF 100, cutoff 5
+    "schnet": dict(hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
+                   max_neighbors=63),
+    # config/model/painn.yaml (spk flavor: cosine cutoff)
+    "painn": dict(hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
+                  max_neighbors=63, envelope="cosine", use_pallas="fused",
+                  compute_dtype="bfloat16", remat=False),
+}
+
+
+def try_download_tiny(root: Path):
+    try:
+        ds = EnergyDataset("dataset_train_tiny", root=root)
+        test = EnergyDataset("dataset_test_conformations_tiny", root=root)
+        return ds, test, "dataset_train_tiny"
+    except Exception as e:  # zero-egress environments
+        print(f"tiny split unavailable ({type(e).__name__}: {e}); "
+              f"falling back to the 100-conformer reference fixture")
+        return None, None, None
+
+
+class SplitModule:
+    """Train/val loaders over explicit index arrays."""
+
+    def __init__(self, dataset, train_idx, val_idx, batch_size):
+        self.dataset, self.train_idx, self.val_idx = dataset, train_idx, val_idx
+        self.batch_size = batch_size
+
+    def train_dataloader(self):
+        return BucketedLoader(self.dataset, self.train_idx,
+                              LoaderConfig(batch_size=self.batch_size, shuffle=True))
+
+    def val_dataloader(self):
+        return BucketedLoader(self.dataset, self.val_idx,
+                              LoaderConfig(batch_size=self.batch_size, shuffle=False))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="schnet", choices=sorted(MODEL_KW))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--max-epochs", type=int, default=1500)
+    args = ap.parse_args()
+
+    ds, test_ds, split_name = try_download_tiny(Path("datasets"))
+    if ds is None:
+        ds = EnergyDataset(FIXTURE_DB)
+        idx = seeded_random_split(len(ds), [0.8, 0.1, 0.1], seed=7)
+        train_idx, val_idx, test_idx = idx
+        dm = SplitModule(ds, train_idx, val_idx, batch_size=32)
+        test_loader = BucketedLoader(ds, test_idx, LoaderConfig(batch_size=32))
+        split_name = "fixture-100 (80/10/10)"
+        n_train = len(train_idx)
+    else:
+        dm = DataModule(ds, batch_size=100, val_fraction=0.05)
+        test_loader = BucketedLoader(test_ds, None, LoaderConfig(batch_size=100))
+        n_train = len(dm.train_idx)
+
+    # per-atom energy standardization from the train rows
+    recs = ds.records
+    e = recs.energy_all if hasattr(recs, "energy_all") else recs.energy
+    na = recs.natoms_all
+    per_atom = e / np.maximum(na, 1)
+    mean, std = float(per_atom.mean()), float(e.std() / np.sqrt(na.mean()))
+
+    model = create_model(args.model, energy_mean=mean, energy_std=max(std, 1e-6),
+                         **MODEL_KW[args.model])
+    cfg = TrainerConfig(
+        max_epochs=args.max_epochs, lr=1e-4 if args.model == "schnet" else 5e-4,
+        schedule="plateau", plateau_factor=0.8, plateau_patience=30,
+        plateau_min_lr=1e-6, stop_at_lr=2e-6,
+        early_stopping_patience=200, log_every_n_steps=200,
+        loss_specs={"energy": "mse", "forces": "mse"},
+        loss_coefs={"energy": 1.0, "forces": 1.0},
+        force_grads="pallas" if args.model == "painn" else "direct",
+        monitor="val/loss",
+    )
+    trainer = Trainer(model, cfg)
+    t0 = time.time()
+    trainer.fit(dm)
+    wall = time.time() - t0
+    test = trainer.test(test_loader)
+    result = {
+        "model": args.model,
+        "split": split_name,
+        "n_train": int(n_train),
+        "test_energy_mae_eh": test.get("test/energy/mae"),
+        "test_forces_mae_eh_per_a": test.get("test/forces/mae"),
+        "wall_seconds": round(wall, 1),
+        "reference_tiny_mae": {"schnet": [1.17e-2, 0.44e-2],
+                               "painn": [0.82e-2, 0.37e-2]}[args.model],
+    }
+    print(json.dumps(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

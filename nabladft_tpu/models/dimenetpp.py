@@ -36,11 +36,12 @@ def swish(x):
 
 class ResidualLayer(nn.Module):
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = swish(nn.Dense(self.hidden)(x))
-        h = swish(nn.Dense(self.hidden)(h))
+        h = swish(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        h = swish(nn.Dense(self.hidden, dtype=self.dtype)(h))
         return x + h
 
 
@@ -50,33 +51,35 @@ class InteractionPPBlock(nn.Module):
     basis_emb_size: int
     num_before_skip: int
     num_after_skip: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, m, rbf, sbf, nl: graph.NeighborList, trip_mask):
         # m: [B,A,K,H] message of edge (j->i); rbf: [B,A,K,R]; sbf: [B,A,K,K,S*R]
-        x_ji = swish(nn.Dense(self.hidden)(m))
-        x_kj = swish(nn.Dense(self.hidden)(m))
-        rbf_w = nn.Dense(self.hidden, use_bias=False)(
-            nn.Dense(self.basis_emb_size, use_bias=False)(rbf)
+        dt = self.dtype
+        x_ji = swish(nn.Dense(self.hidden, dtype=dt)(m))
+        x_kj = swish(nn.Dense(self.hidden, dtype=dt)(m))
+        rbf_w = nn.Dense(self.hidden, use_bias=False, dtype=dt)(
+            nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt)(rbf)
         )
         x_kj = x_kj * rbf_w
-        x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False)(x_kj))
+        x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, dtype=dt)(x_kj))
         # gather messages of edges (k->j) for each edge (j->i)
         t = graph.gather_neighbor_edges(x_kj, nl.idx)  # [B,A,K,K,E]
-        sbf_w = nn.Dense(self.int_emb_size, use_bias=False)(
-            nn.Dense(self.basis_emb_size, use_bias=False)(sbf)
+        sbf_w = nn.Dense(self.int_emb_size, use_bias=False, dtype=dt)(
+            nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt)(sbf)
         )
         agg = jnp.sum(
             jnp.where(trip_mask[..., None], t * sbf_w, 0.0), axis=3
         )  # [B,A,K,E]
-        x_kj = swish(nn.Dense(self.hidden, use_bias=False)(agg))
+        x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt)(agg))
 
         h = x_ji + x_kj
         for _ in range(self.num_before_skip):
-            h = ResidualLayer(self.hidden)(h)
-        h = swish(nn.Dense(self.hidden)(h)) + m
+            h = ResidualLayer(self.hidden, dtype=dt)(h)
+        h = swish(nn.Dense(self.hidden, dtype=dt)(h)) + m
         for _ in range(self.num_after_skip):
-            h = ResidualLayer(self.hidden)(h)
+            h = ResidualLayer(self.hidden, dtype=dt)(h)
         return h
 
 
@@ -85,15 +88,17 @@ class OutputPPBlock(nn.Module):
     out_emb_channels: int
     out_channels: int
     num_layers: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, m, rbf, nl: graph.NeighborList):
-        g = nn.Dense(self.hidden, use_bias=False)(rbf) * m  # [B,A,K,H]
-        x = masked_sum(g, nl.mask, axis=2)  # [B,A,H] aggregate to receiver i
-        x = nn.Dense(self.out_emb_channels, use_bias=False)(x)
+        dt = self.dtype
+        g = nn.Dense(self.hidden, use_bias=False, dtype=dt)(rbf) * m  # [B,A,K,H]
+        x = masked_sum(g, nl.mask, axis=2).astype(dt)  # [B,A,H] receiver agg
+        x = nn.Dense(self.out_emb_channels, use_bias=False, dtype=dt)(x)
         for _ in range(self.num_layers):
-            x = swish(nn.Dense(self.out_emb_channels)(x))
-        return nn.Dense(self.out_channels, use_bias=False)(x)
+            x = swish(nn.Dense(self.out_emb_channels, dtype=dt)(x))
+        return nn.Dense(self.out_channels, use_bias=False, dtype=dt)(x)
 
 
 @register_model("dimenetpp")
@@ -118,11 +123,13 @@ class DimeNetPP(nn.Module):
     energy_mean: float = 0.0
     energy_std: float = 1.0
     remat: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = True
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
+        cdt = jnp.dtype(self.compute_dtype)
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
         rbf = bessel_radial_basis_with_envelope(
             nl.dist, self.num_radial, self.cutoff, self.envelope_exponent
@@ -133,37 +140,38 @@ class DimeNetPP(nn.Module):
             d_kj, cos_angle, self.num_spherical, self.num_radial, self.cutoff,
             self.envelope_exponent,
         )
-        sbf = jnp.where(trip_mask[..., None], sbf, 0.0)
-        rbf = jnp.where(nl.mask[..., None], rbf, 0.0)
+        sbf = jnp.where(trip_mask[..., None], sbf, 0.0).astype(cdt)
+        rbf = jnp.where(nl.mask[..., None], rbf, 0.0).astype(cdt)
 
         # embedding block
-        x = nn.Embed(self.num_elements, self.hidden, name="atom_embedding")(batch.z)
+        x = nn.Embed(self.num_elements, self.hidden, dtype=cdt, name="atom_embedding")(batch.z)
         x_j = graph.gather_nodes(x, nl.idx)
         x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
-        rbf_emb = swish(nn.Dense(self.hidden, name="rbf_embed")(rbf))
+        rbf_emb = swish(nn.Dense(self.hidden, dtype=cdt, name="rbf_embed")(rbf))
         m = swish(
-            nn.Dense(self.hidden, name="edge_embed")(
+            nn.Dense(self.hidden, dtype=cdt, name="edge_embed")(
                 jnp.concatenate([x_i, x_j, rbf_emb], axis=-1)
             )
         )
 
         p = OutputPPBlock(
             self.hidden, self.out_emb_channels, self.node_latent_dim,
-            self.num_output_layers, name="output_0",
+            self.num_output_layers, dtype=cdt, name="output_0",
         )(m, rbf, nl)
         block_cls = nn.remat(InteractionPPBlock) if self.remat else InteractionPPBlock
         for b in range(self.num_blocks):
             m = block_cls(
                 self.hidden, self.int_emb_size, self.basis_emb_size,
-                self.num_before_skip, self.num_after_skip, name=f"interaction_{b}",
+                self.num_before_skip, self.num_after_skip, dtype=cdt,
+                name=f"interaction_{b}",
             )(m, rbf, sbf, nl, trip_mask)
             p = p + OutputPPBlock(
                 self.hidden, self.out_emb_channels, self.node_latent_dim,
-                self.num_output_layers, name=f"output_{b + 1}",
+                self.num_output_layers, dtype=cdt, name=f"output_{b + 1}",
             )(m, rbf, nl)
 
         # per-graph latent -> swish MLP head (reference dimenetplusplus.py:83-91)
-        latent = masked_sum(p, batch.node_mask, axis=1)  # [B, latent]
+        latent = masked_sum(p, batch.node_mask, axis=1).astype(jnp.float32)
         h = swish(nn.Dense(self.node_latent_dim)(latent))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))

@@ -60,13 +60,14 @@ class EncoderLayer(nn.Module):
     attention_dropout: float
     activation_dropout: float
     deterministic: bool
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_bias):
         # pre-LN self attention with additive bias [B,H,A,A]
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
         d_head = self.embed_dim // self.heads
-        qkv = nn.Dense(3 * self.embed_dim)(h)
+        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
@@ -74,18 +75,18 @@ class EncoderLayer(nn.Module):
 
         q = split_heads(q) * d_head**-0.5
         k, v = split_heads(k), split_heads(v)
-        logits = jnp.einsum("bihd,bjhd->bhij", q, k) + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k).astype(jnp.float32) + attn_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(self.attention_dropout, deterministic=self.deterministic)(probs)
-        attn = jnp.einsum("bhij,bjhd->bihd", probs, v)
+        attn = jnp.einsum("bhij,bjhd->bihd", probs, v.astype(self.dtype))
         attn = attn.reshape(*x.shape[:-1], self.embed_dim)
-        attn = nn.Dense(self.embed_dim)(attn)
+        attn = nn.Dense(self.embed_dim, dtype=self.dtype)(attn)
         x = x + nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)
 
-        h = nn.LayerNorm()(x)
-        h = jax.nn.gelu(nn.Dense(self.ffn_dim)(h))
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = jax.nn.gelu(nn.Dense(self.ffn_dim, dtype=self.dtype)(h))
         h = nn.Dropout(self.activation_dropout, deterministic=self.deterministic)(h)
-        h = nn.Dense(self.embed_dim)(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype)(h)
         return x + nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
 
 
@@ -132,6 +133,7 @@ class Graphormer3D(nn.Module):
     atom_types: int = 64
     deterministic: bool = True
     remat: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = False  # direct force head
 
@@ -151,10 +153,13 @@ class Graphormer3D(nn.Module):
         # masked_fill on padding_mask.unsqueeze(1), i.e. axis 2)
         edge_feat = jnp.where(batch.node_mask[:, None, :, None], gbf, 0.0)
 
+        cdt = jnp.dtype(self.compute_dtype)
         x = (
-            nn.Embed(3, self.embed_dim, name="tag_encoder")(tags)
-            + nn.Embed(self.atom_types, self.embed_dim, name="atom_encoder")(z)
-            + nn.Dense(self.embed_dim, name="edge_proj")(edge_feat.sum(axis=2))
+            nn.Embed(3, self.embed_dim, dtype=cdt, name="tag_encoder")(tags)
+            + nn.Embed(self.atom_types, self.embed_dim, dtype=cdt, name="atom_encoder")(z)
+            + nn.Dense(self.embed_dim, dtype=cdt, name="edge_proj")(
+                edge_feat.sum(axis=2).astype(cdt)
+            )
         )
         x = nn.Dropout(self.input_dropout, deterministic=self.deterministic)(x)
 
@@ -170,14 +175,14 @@ class Graphormer3D(nn.Module):
             layer_cls(
                 self.embed_dim, self.ffn_embed_dim, self.attention_heads,
                 self.dropout, self.attention_dropout, self.activation_dropout,
-                self.deterministic, name=f"layer_{i}",
+                self.deterministic, cdt, name=f"layer_{i}",
             )
             for i in range(self.layers)
         ]
         for _ in range(self.blocks):  # weight-shared blocks (reference :303)
             for layer in shared_layers:
                 x = layer(x, bias)
-        x = nn.LayerNorm(name="final_ln")(x)
+        x = nn.LayerNorm(name="final_ln")(x.astype(jnp.float32))
 
         e = nn.Dropout(0.1, deterministic=self.deterministic)(x)
         e = jax.nn.gelu(nn.Dense(self.embed_dim, name="energy_proj_0")(e))

@@ -134,9 +134,16 @@ class PhiSNet(nn.Module):
     orbitals: Optional[Dict[int, Tuple[int, ...]]] = None
     predict_core: bool = True
     predict_overlap: bool = True
+    # energy/forces heads alongside the matrices (reference
+    # nn/neural_network.py:969-991 + nn/modules/energy_layer.py:35-50:
+    # energy from pooled diagonal+pair scalar features, forces = -dE/dpos)
+    predict_energy: bool = False
+    num_energy_features: int = 64
     remat: bool = True
 
-    derivative_forces = False
+    @property
+    def derivative_forces(self) -> bool:
+        return self.predict_energy
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
@@ -200,6 +207,29 @@ class PhiSNet(nn.Module):
         fij = PairMixing(c, name="mix_ij")(fi, fj, rbf)
         fij = ResidualStack(1, c, name="res_ij")(fij)
 
+        out_extra: ModelOutput = {}
+        if self.predict_energy:
+            # reference EnergyLayer: mean-pooled activated scalar channels of
+            # the diagonal and pair features -> one linear readout
+            e_ii = jax.nn.silu(
+                nn.Dense(self.num_energy_features, name="energy_ii")(fii[0][..., 0])
+            )  # [B,A,E]
+            nmaskf = batch.node_mask.astype(e_ii.dtype)
+            e_ii = (e_ii * nmaskf[..., None]).sum(1) / jnp.maximum(
+                nmaskf.sum(1), 1.0
+            )[..., None]
+            e_ij = jax.nn.silu(
+                nn.Dense(self.num_energy_features, name="energy_ij")(fij[0][..., 0])
+            )  # [B,A,A,E]
+            amaskf = adj.astype(e_ij.dtype)
+            e_ij = (e_ij * amaskf[..., None]).sum((1, 2)) / jnp.maximum(
+                amaskf.sum((1, 2)), 1.0
+            )[..., None]
+            energy = nn.Dense(1, name="energy_out")(
+                jnp.concatenate([e_ii, e_ij], axis=-1)
+            )[..., 0]
+            out_extra["energy"] = energy
+
         heads = [("hamiltonian", 2)]
         if self.predict_core:
             heads.append(("core", 2))
@@ -215,7 +245,7 @@ class PhiSNet(nn.Module):
             blocks["overlap"] = out.pop("overlap_parts")
 
         if o_max is None:
-            return {k: v for k, v in blocks.items()}
+            return {**{k: v for k, v in blocks.items()}, **out_extra}
 
         # ---------------- matrix assembly ---------------------------------
         norb_t = jnp.asarray(layout.norb)
@@ -244,4 +274,5 @@ class PhiSNet(nn.Module):
             mat = mat + jnp.einsum("biro,bijrs,bjsq->boq", p, offd, p)
             mat = 0.5 * (mat + jnp.swapaxes(mat, -1, -2))
             result[name] = mat
+        result.update(out_extra)
         return result

@@ -25,16 +25,17 @@ from nabladft_tpu.ops.segment import masked_sum
 
 class SchNetInteraction(nn.Module):
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, nl: graph.NeighborList, filters) -> jnp.ndarray:
         # in2f -> gather neighbors -> filter product -> aggregate -> f2out
-        xin = nn.Dense(self.hidden, use_bias=False)(x)  # [B,A,F]
+        xin = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(x)  # [B,A,F]
         xj = graph.gather_nodes(xin, nl.idx)  # [B,A,K,F]
-        msg = masked_sum(xj * filters, nl.mask, axis=2)  # [B,A,F]
-        out = nn.Dense(self.hidden)(msg)
+        msg = masked_sum(xj * filters, nl.mask, axis=2).astype(self.dtype)  # [B,A,F]
+        out = nn.Dense(self.hidden, dtype=self.dtype)(msg)
         out = shifted_softplus(out)
-        out = nn.Dense(self.hidden)(out)
+        out = nn.Dense(self.hidden, dtype=self.dtype)(out)
         return out
 
 
@@ -51,24 +52,27 @@ class SchNet(nn.Module):
     energy_mean: float = 0.0
     energy_std: float = 1.0
     use_atomrefs: bool = False
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = True
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
+        cdt = jnp.dtype(self.compute_dtype)
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
-        rbf = radial.gaussian_rbf(nl.dist, self.n_rbf, self.cutoff)  # [B,A,K,R]
-        fcut = radial.cosine_cutoff(nl.dist, self.cutoff)  # [B,A,K]
+        rbf = radial.gaussian_rbf(nl.dist, self.n_rbf, self.cutoff).astype(cdt)
+        fcut = radial.cosine_cutoff(nl.dist, self.cutoff).astype(cdt)  # [B,A,K]
 
         # filter network shared structure per interaction (schnetpack keeps
         # one filter net per interaction block)
-        x = nn.Embed(self.num_elements, self.hidden, name="atom_embedding")(batch.z)
+        x = nn.Embed(self.num_elements, self.hidden, dtype=cdt, name="atom_embedding")(batch.z)
         for i in range(self.n_interactions):
-            w = nn.Dense(self.hidden, name=f"filter_{i}_0")(rbf)
+            w = nn.Dense(self.hidden, dtype=cdt, name=f"filter_{i}_0")(rbf)
             w = shifted_softplus(w)
-            w = nn.Dense(self.hidden, name=f"filter_{i}_1")(w)
+            w = nn.Dense(self.hidden, dtype=cdt, name=f"filter_{i}_1")(w)
             w = w * fcut[..., None]
-            x = x + SchNetInteraction(self.hidden, name=f"interaction_{i}")(x, nl, w)
+            x = x + SchNetInteraction(self.hidden, dtype=cdt, name=f"interaction_{i}")(x, nl, w)
+        x = x.astype(jnp.float32)
 
         e_atom = MLP([self.hidden // 2, 1], activation=shifted_softplus, name="atomwise")(x)
         e_atom = e_atom[..., 0] * self.energy_std + self.energy_mean

@@ -180,3 +180,34 @@ def test_qhnet_grad_compiles(qhnet_setup):
 
     g = jax.grad(loss)(variables)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_phisnet_energy_forces_heads(rng):
+    """PhiSNet with predict_energy: E invariant under rotation/translation,
+    forces equivariant (reference nn/neural_network.py:969-991 semantics)."""
+    from nabladft_tpu.models.base import forward
+
+    batch = make_ham_batch(np.random.default_rng(3))
+    model = create_model("phisnet", predict_energy=True, **PHISNET_KW)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+    out = forward(model, variables, batch)
+    assert set(out) >= {"hamiltonian", "overlap", "core", "energy", "forces"}
+    assert out["energy"].shape == batch.energy.shape
+    assert out["forces"].shape == batch.forces.shape
+
+    q, _ = np.linalg.qr(np.random.default_rng(5).normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    rot = q.astype(np.float32)
+    out_rot = forward(model, variables, batch.replace(pos=np.asarray(batch.pos) @ rot.T))
+    np.testing.assert_allclose(
+        np.asarray(out["energy"]), np.asarray(out_rot["energy"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["forces"]) @ rot.T, np.asarray(out_rot["forces"]),
+        rtol=1e-3, atol=1e-4,
+    )
+    out_t = forward(model, variables, batch.replace(pos=np.asarray(batch.pos) + 1.3))
+    np.testing.assert_allclose(
+        np.asarray(out["energy"]), np.asarray(out_t["energy"]), rtol=1e-4, atol=1e-5
+    )
