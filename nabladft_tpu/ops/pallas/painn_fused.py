@@ -463,6 +463,13 @@ def _pick_bm(b: int, prefer: Sequence[int] = (4, 2, 1)) -> int:
     return 1
 
 
+def _bm_for(rbf, bf16_prefer, f32_prefer) -> int:
+    """Molecules per program, halved for f32 inputs (VMEM is the binding
+    constraint: the pair tiles double in size vs bfloat16)."""
+    prefer = bf16_prefer if rbf.dtype == jnp.bfloat16 else f32_prefer
+    return _pick_bm(rbf.shape[0], prefer)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def painn_message(dist, rbf, rbfp, phi, v, unit_t, w, interpret=False):
     """First-order fused PaiNN message (inference / forces / relaxation).
@@ -473,7 +480,7 @@ def painn_message(dist, rbf, rbfp, phi, v, unit_t, w, interpret=False):
     Returns (ds [B,A,F], dv [B,A,3F] c-major).
     """
     del dist, rbfp
-    return _run_fwd(rbf, phi, v, unit_t, w, bm=_pick_bm(rbf.shape[0]),
+    return _run_fwd(rbf, phi, v, unit_t, w, bm=_bm_for(rbf, (4, 2, 1), (2, 1)),
                     interpret=interpret)
 
 
@@ -487,7 +494,7 @@ def _pm_bwd(interpret, res, cots):
     gds, gdv = cots
     g_dist, g_ut, gphi, gv, gw = _run_bwd(
         rbf, rbfp, phi, v, unit_t, w, gds.astype(rbf.dtype), gdv.astype(rbf.dtype),
-        bm=_pick_bm(rbf.shape[0], (2, 1)), interpret=interpret,
+        bm=_bm_for(rbf, (2, 1), (1,)), interpret=interpret,
     )
     zero_pair = jnp.zeros_like(rbf)
     return (g_dist.astype(jnp.float32), zero_pair, zero_pair,
@@ -507,7 +514,7 @@ def painn_dual(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w, interpret=False)
     (gphi, gphid, gv, gvd, gw) and ZEROS for all pair-level inputs.
     """
     return _run_dual_fwd(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w,
-                         bm=_pick_bm(rbf.shape[0], (2, 1)), interpret=interpret)
+                         bm=_bm_for(rbf, (2, 1), (1,)), interpret=interpret)
 
 
 def _pd_fwd(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w, interpret):

@@ -16,15 +16,30 @@ Semantics parity:
   * H0 = 1/alpha (never updated), damping multiplier, maxstep per-config
     renormalization, rho = 1/(y·s) guarded at 1e-8;
   * history ring buffer of `memory` entries; unused slots carry rho = 0 so
-    the fixed-length two-loop recursion is a no-op over them.
+    the fixed-length two-loop recursion is a no-op over them;
+  * line searches (reference LineSearch, optimization/line_search.py:4-515:
+    a vectorized Moré–Thuente over per-config task states): here two
+    compiled variants — "armijo" backtracking (function values only) and
+    "wolfe", a fixed-trial strong-Wolfe bracketing search (function +
+    gradient per trial, per-molecule bracket state as masked vectors).
+
+Trajectories and restart (reference optimizers.py:269-290: per-structure
+extxyz dump each step + pickle restart): the compiled loop keeps frames on
+device, so `relax_chunked` runs the while_loop in host-visible chunks,
+invoking a callback with the positions after every `interval` iterations
+and exposing the full solver state for pickle save/resume
+(`save_state`/`load_state`).
 """
 
 from __future__ import annotations
 
+import pickle
+from pathlib import Path
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nabladft_tpu.data.batch import MolBatch
 
@@ -65,61 +80,105 @@ def _max_force_sq(forces: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.where(node_mask, f2, 0.0), axis=-1)  # [B]
 
 
-def lbfgs_relax(
+def _wolfe_search(compute, st, dr, node_mask, trials, c1, c2):
+    """Vectorized strong-Wolfe bracketing search over the batch.
+
+    Fixed `trials` function+gradient evaluations; per-molecule bracket
+    [lo, hi] maintained as masked vectors (the compiled counterpart of the
+    reference's per-config Moré–Thuente task states, line_search.py:13).
+    Returns the accepted step multiplier per molecule.
+    """
+    b = st.energy.shape[0]
+    dt = dr.dtype
+    dphi0 = _config_dot(-st.forces, dr, node_mask)  # [B] (≤ 0 descent)
+    alpha = jnp.ones((b,), dt)
+    lo = jnp.zeros((b,), dt)
+    hi = jnp.full((b,), jnp.inf, dt)
+    best = jnp.ones((b,), dt)
+    found = jnp.zeros((b,), bool)
+    fallback = jnp.ones((b,), dt)  # best Armijo-only step seen
+    fallback_ok = jnp.zeros((b,), bool)
+    for _ in range(trials):
+        e_t, f_t = compute(st.pos + alpha[:, None, None] * dr)
+        dphi = _config_dot(-f_t, dr, node_mask)
+        armijo = e_t <= st.energy + c1 * alpha * dphi0
+        curv = jnp.abs(dphi) <= c2 * jnp.abs(dphi0)
+        accept = armijo & curv & ~found
+        best = jnp.where(accept, alpha, best)
+        found = found | accept
+        fallback = jnp.where(armijo & ~fallback_ok, alpha, fallback)
+        fallback_ok = fallback_ok | armijo
+        # bracket update (strong-Wolfe zoom rules)
+        shrink = ~armijo | (dphi > 0)  # overshoot -> bracket right end
+        hi = jnp.where(shrink & ~found, alpha, hi)
+        lo = jnp.where(armijo & (dphi < 0) & ~found, alpha, lo)
+        bisect = 0.5 * (lo + jnp.where(jnp.isfinite(hi), hi, lo + 2.0))
+        expand = 2.0 * alpha
+        alpha = jnp.where(jnp.isfinite(hi), bisect, expand)
+    return jnp.where(found, best, jnp.where(fallback_ok, fallback, 0.25))
+
+
+def init_lbfgs_state(
     energy_forces_fn: EnergyForcesFn,
     batch: MolBatch,
-    fmax: float = 0.05,
-    max_steps: int = 500,
-    memory: int = 100,
-    maxstep: float = 0.2,
-    damping: float = 1.0,
-    alpha: float = 1.0,
+    fmax: float,
+    memory: int,
     fixed_atoms_mask: Optional[jnp.ndarray] = None,
-    use_line_search: bool = False,
-    ls_trials: int = 4,
-    ls_c1: float = 1e-4,
-) -> LBFGSResult:
-    """Relax all molecules of a padded batch on device.
-
-    `fixed_atoms_mask` [B,A] (True = frozen) mirrors the reference's
-    fixed-atom support (calculator.py fixed-atom masking).
-    `use_line_search` enables a per-molecule backtracking Armijo search
-    (the compiled stand-in for the reference's vectorized Moré–Thuente
-    line search, optimization/line_search.py:4-515; off by default, as in
-    config/optimizer/batchwise_lbfgs.yaml).
-    """
+) -> LBFGSState:
     node_mask = batch.node_mask
-    free = node_mask
-    if fixed_atoms_mask is not None:
-        free = free & ~fixed_atoms_mask
-    mol_mask = batch.graph_mask
+    free = node_mask if fixed_atoms_mask is None else node_mask & ~fixed_atoms_mask
     b, a = batch.z.shape
-    h0 = 1.0 / alpha
-    m = memory
 
     def compute(pos):
         e, f = energy_forces_fn(batch.replace(pos=pos))
-        f = f * free[..., None]
-        return e, f
+        return e, f * free[..., None]
 
     e_init, f_init = compute(batch.pos)
     conv0 = _max_force_sq(f_init, node_mask) < fmax**2
-    state = LBFGSState(
+    return LBFGSState(
         pos=batch.pos,
         energy=e_init,
         forces=f_init,
         r0=batch.pos,
         f0=f_init,
-        s_hist=jnp.zeros((m, b, a, 3), batch.pos.dtype),
-        y_hist=jnp.zeros((m, b, a, 3), batch.pos.dtype),
-        rho=jnp.zeros((m, b), batch.pos.dtype),
+        s_hist=jnp.zeros((memory, b, a, 3), batch.pos.dtype),
+        y_hist=jnp.zeros((memory, b, a, 3), batch.pos.dtype),
+        rho=jnp.zeros((memory, b), batch.pos.dtype),
         iteration=jnp.zeros((), jnp.int32),
-        converged=conv0 | ~mol_mask,
+        converged=conv0 | ~batch.graph_mask,
         nsteps_to_converge=jnp.zeros((b,), jnp.int32),
     )
 
+
+def _run_lbfgs(
+    energy_forces_fn: EnergyForcesFn,
+    batch: MolBatch,
+    state: LBFGSState,
+    stop_at,
+    fmax: float,
+    memory: int,
+    maxstep: float,
+    damping: float,
+    alpha: float,
+    fixed_atoms_mask: Optional[jnp.ndarray],
+    line_search: str,
+    ls_trials: int,
+    ls_c1: float,
+    ls_c2: float,
+) -> LBFGSState:
+    node_mask = batch.node_mask
+    free = node_mask if fixed_atoms_mask is None else node_mask & ~fixed_atoms_mask
+    mol_mask = batch.graph_mask
+    b = batch.z.shape[0]
+    h0 = 1.0 / alpha
+    m = memory
+
+    def compute(pos):
+        e, f = energy_forces_fn(batch.replace(pos=pos))
+        return e, f * free[..., None]
+
     def cond(st: LBFGSState):
-        return (st.iteration < max_steps) & ~jnp.all(st.converged)
+        return (st.iteration < stop_at) & ~jnp.all(st.converged)
 
     def body(st: LBFGSState):
         it = st.iteration
@@ -178,11 +237,11 @@ def lbfgs_relax(
         scale = jnp.where(longest >= maxstep, maxstep / jnp.maximum(longest, 1e-12), 1.0)
         dr = p * scale[:, None, None] * damping
 
-        if use_line_search:
-            # per-molecule backtracking Armijo: E(x+αp) ≤ E(x) + c1 α ∇E·p
+        if line_search == "armijo":
+            # per-molecule backtracking: E(x+αp) ≤ E(x) + c1 α ∇E·p
             g_dot_p = _config_dot(-st.forces, dr, node_mask)  # [B]
             trial = jnp.ones((b,), dr.dtype)
-            best = jnp.full((b,), 0.5**(ls_trials - 1), dr.dtype)
+            best = jnp.full((b,), 0.5 ** (ls_trials - 1), dr.dtype)
             accepted = jnp.zeros((b,), bool)
             for _ in range(ls_trials):
                 e_t, _ = compute(st.pos + trial[:, None, None] * dr)
@@ -191,14 +250,15 @@ def lbfgs_relax(
                 accepted = accepted | ok
                 trial = trial * 0.5
             dr = dr * best[:, None, None]
+        elif line_search == "wolfe":
+            step = _wolfe_search(compute, st, dr, node_mask, ls_trials, ls_c1, ls_c2)
+            dr = dr * step[:, None, None]
 
         new_pos = st.pos + dr
         e, f = compute(new_pos)
         newly_conv = _max_force_sq(f, node_mask) < fmax**2
         converged = st.converged | newly_conv
-        nconv = jnp.where(
-            newly_conv & ~st.converged, it + 1, st.nsteps_to_converge
-        )
+        nconv = jnp.where(newly_conv & ~st.converged, it + 1, st.nsteps_to_converge)
         return LBFGSState(
             pos=new_pos,
             energy=e,
@@ -213,7 +273,10 @@ def lbfgs_relax(
             nsteps_to_converge=nconv,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _result(final: LBFGSState, mol_mask) -> LBFGSResult:
     return LBFGSResult(
         pos=final.pos,
         energy=final.energy,
@@ -222,3 +285,94 @@ def lbfgs_relax(
         nsteps=final.iteration,
         nsteps_to_converge=final.nsteps_to_converge,
     )
+
+
+def lbfgs_relax(
+    energy_forces_fn: EnergyForcesFn,
+    batch: MolBatch,
+    fmax: float = 0.05,
+    max_steps: int = 500,
+    memory: int = 100,
+    maxstep: float = 0.2,
+    damping: float = 1.0,
+    alpha: float = 1.0,
+    fixed_atoms_mask: Optional[jnp.ndarray] = None,
+    line_search: str = "off",  # off | armijo | wolfe
+    ls_trials: int = 4,
+    ls_c1: float = 1e-4,
+    ls_c2: float = 0.9,
+    use_line_search: bool = False,  # legacy alias for line_search="armijo"
+) -> LBFGSResult:
+    """Relax all molecules of a padded batch on device.
+
+    `fixed_atoms_mask` [B,A] (True = frozen) mirrors the reference's
+    fixed-atom support (calculator.py fixed-atom masking).
+    """
+    if use_line_search and line_search == "off":
+        line_search = "armijo"
+    state = init_lbfgs_state(energy_forces_fn, batch, fmax, memory, fixed_atoms_mask)
+    final = _run_lbfgs(
+        energy_forces_fn, batch, state, jnp.asarray(max_steps, jnp.int32),
+        fmax, memory, maxstep, damping, alpha, fixed_atoms_mask,
+        line_search, ls_trials, ls_c1, ls_c2,
+    )
+    return _result(final, batch.graph_mask)
+
+
+def relax_chunked(
+    energy_forces_fn: EnergyForcesFn,
+    batch: MolBatch,
+    fmax: float = 0.05,
+    max_steps: int = 500,
+    interval: int = 10,
+    on_chunk: Optional[Callable[[int, LBFGSState], None]] = None,
+    resume_state: Optional[LBFGSState] = None,
+    memory: int = 100,
+    maxstep: float = 0.2,
+    damping: float = 1.0,
+    alpha: float = 1.0,
+    fixed_atoms_mask: Optional[jnp.ndarray] = None,
+    line_search: str = "off",
+    ls_trials: int = 4,
+    ls_c1: float = 1e-4,
+    ls_c2: float = 0.9,
+) -> Tuple[LBFGSResult, LBFGSState]:
+    """Run the compiled loop `interval` iterations at a time.
+
+    After each chunk `on_chunk(iteration, state)` fires with device state —
+    the host-visible analog of the reference's per-step trajectory dump and
+    pickle restart (optimizers.py:269-290). One jitted function is reused
+    across chunks (stop_at is a traced operand). Resume by passing the
+    state from `load_state`.
+    """
+    state = resume_state
+    if state is None:
+        state = init_lbfgs_state(energy_forces_fn, batch, fmax, memory, fixed_atoms_mask)
+        if on_chunk is not None:
+            on_chunk(0, state)
+
+    run = jax.jit(
+        lambda st, stop: _run_lbfgs(
+            energy_forces_fn, batch, st, stop, fmax, memory, maxstep, damping,
+            alpha, fixed_atoms_mask, line_search, ls_trials, ls_c1, ls_c2,
+        )
+    )
+    it = int(state.iteration)
+    while it < max_steps and not bool(jnp.all(state.converged)):
+        stop = min(it + interval, max_steps)
+        state = run(state, jnp.asarray(stop, jnp.int32))
+        it = int(state.iteration)
+        if on_chunk is not None:
+            on_chunk(it, state)
+    return _result(state, batch.graph_mask), state
+
+
+def save_state(state: LBFGSState, path) -> None:
+    """Pickle an L-BFGS state for restart (reference optimizers.py:283-290)."""
+    host = LBFGSState(*(np.asarray(x) for x in state))
+    Path(path).write_bytes(pickle.dumps(host._asdict()))
+
+
+def load_state(path) -> LBFGSState:
+    d = pickle.loads(Path(path).read_bytes())
+    return LBFGSState(**{k: jnp.asarray(v) for k, v in d.items()})

@@ -44,25 +44,84 @@ class BatchwiseOptimizeTask:
         alpha: float = 1.0,
         bucket_boundaries=(32, 48, 64),
         trajectory_dir: Optional[Path] = None,
+        trajectory_interval: int = 0,
+        restart_path: Optional[Path] = None,
+        line_search: str = "off",
     ):
-        # trajectory_dir: write per-molecule extxyz endpoints (initial +
-        # relaxed; the reference dumps full per-step trajectories,
-        # optimizers.py:269-277 — the compiled loop keeps positions on
-        # device, so intermediate frames are not materialized)
+        # trajectory_dir: write per-molecule extxyz trajectories. With
+        # trajectory_interval == 0 only endpoints are written (initial +
+        # relaxed); with interval N > 0 the compiled loop runs in N-step
+        # chunks and every chunk's frame is appended — the reference's
+        # per-step dump (optimizers.py:269-277) at a configurable stride.
+        # restart_path: pickle of (batch index, solver state) after every
+        # chunk/batch; rerunning with the same path resumes mid-run
+        # (reference optimizers.py:283-290).
         self.trajectory_dir = Path(trajectory_dir) if trajectory_dir else None
+        self.trajectory_interval = int(trajectory_interval)
+        self.restart_path = Path(restart_path) if restart_path else None
+        self.line_search = line_search
         self.input_db = Path(input_db)
         self.output_db = Path(output_db)
         self.calculator = calculator
         self.batch_size = batch_size
         self.fmax = fmax
         self.steps = steps
-        self.kw = dict(memory=memory, maxstep=maxstep, damping=damping, alpha=alpha)
+        self.kw = dict(
+            memory=memory, maxstep=maxstep, damping=damping, alpha=alpha,
+            line_search=line_search,
+        )
         self.bucket_boundaries = bucket_boundaries
         self._jit_relax = jax.jit(
             lambda batch: lbfgs_relax(
                 self.calculator, batch, fmax=self.fmax, max_steps=self.steps, **self.kw
             )
         )
+
+    def _relax_batch(self, batch, batch_index: int):
+        """One-shot compiled relax, or chunked with trajectory/restart."""
+        if self.trajectory_interval <= 0 and self.restart_path is None:
+            return self._jit_relax(batch)
+        from nabladft_tpu.optimize.lbfgs import load_state, relax_chunked, save_state
+
+        frames = {}
+
+        def on_chunk(it, st):
+            pos = np.asarray(st.pos)
+            e = np.asarray(st.energy)
+            for slot in range(batch.num_mols):
+                if batch.graph_mask[slot]:
+                    frames.setdefault(slot, []).append(
+                        (pos[slot].copy(), float(e[slot]))
+                    )
+            if self.restart_path is not None:
+                save_state(st, self.restart_path)
+                self.restart_path.with_suffix(".meta").write_text(str(batch_index))
+
+        resume = None
+        if self.restart_path is not None and self.restart_path.exists():
+            meta = self.restart_path.with_suffix(".meta")
+            if meta.exists() and int(meta.read_text()) == batch_index:
+                resume = load_state(self.restart_path)
+        result, _ = relax_chunked(
+            self.calculator, batch, fmax=self.fmax, max_steps=self.steps,
+            interval=max(self.trajectory_interval, 1) if self.trajectory_interval
+            else self.steps,
+            on_chunk=on_chunk, resume_state=resume, **self.kw,
+        )
+        if self.trajectory_dir is not None and self.trajectory_interval > 0:
+            from nabladft_tpu.utils.xyz import write_extxyz
+
+            self.trajectory_dir.mkdir(parents=True, exist_ok=True)
+            for slot, frs in frames.items():
+                mol_id = int(batch.mol_id[slot])
+                n = int(batch.node_mask[slot].sum())
+                write_extxyz(
+                    self.trajectory_dir / f"mol_{mol_id}.extxyz",
+                    np.asarray(batch.z[slot][:n]),
+                    [f[0][:n] for f in frs],
+                    energies=[f[1] for f in frs],
+                )
+        return result
 
     def run(self) -> Dict[str, Any]:
         dataset = EnergyDataset(
@@ -76,8 +135,8 @@ class BatchwiseOptimizeTask:
         out = AseDatabase(self.output_db, create=True)
         n_done, n_converged, total_steps = 0, 0, 0
         results: Dict[int, AtomsRecord] = {}
-        for batch in loader:
-            result = self._jit_relax(batch)
+        for batch_index, batch in enumerate(loader):
+            result = self._relax_batch(batch, batch_index)
             pos = np.asarray(result.pos)
             energy = np.asarray(result.energy)
             forces = np.asarray(result.forces)
@@ -100,7 +159,7 @@ class BatchwiseOptimizeTask:
                     key_value_pairs=rec.key_value_pairs,
                     data=data,
                 )
-                if self.trajectory_dir is not None:
+                if self.trajectory_dir is not None and self.trajectory_interval == 0:
                     from nabladft_tpu.utils.xyz import write_extxyz
 
                     self.trajectory_dir.mkdir(parents=True, exist_ok=True)
@@ -173,5 +232,9 @@ def run_optimize_job(cfg: Dict[str, Any]) -> Dict[str, Any]:
         memory=o.get("memory", 100),
         maxstep=o.get("maxstep", 0.2),
         bucket_boundaries=tuple(o.get("bucket_boundaries", (32, 48, 64))),
+        trajectory_dir=o.get("trajectory_dir"),
+        trajectory_interval=o.get("trajectory_interval", 0),
+        restart_path=o.get("restart_path"),
+        line_search=o.get("line_search", "off"),
     )
     return task.run()

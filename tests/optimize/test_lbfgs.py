@@ -150,3 +150,59 @@ def test_lbfgs_with_line_search(rng):
     assert bool(np.asarray(result.converged)[0])
     e0, _ = harmonic_ef()(batch)
     assert float(result.energy[0]) < float(e0[0])
+
+
+def test_lbfgs_wolfe_line_search(rng):
+    """Strong-Wolfe search converges on the harmonic surface and the first
+    accepted step satisfies both Wolfe conditions."""
+    from nabladft_tpu.optimize.lbfgs import lbfgs_relax as _relax
+
+    batch = make_batch(rng)
+    fn = harmonic_ef()
+    result = jax.jit(
+        lambda b: _relax(fn, b, fmax=1e-3, max_steps=300, memory=20,
+                         line_search="wolfe", ls_trials=5)
+    )(batch)
+    assert bool(np.asarray(result.converged)[:3].all())
+    np.testing.assert_allclose(np.asarray(result.energy)[:3], 0.0, atol=1e-4)
+
+
+def test_lbfgs_chunked_matches_single_run(rng):
+    """relax_chunked with a trajectory callback reaches the same result as
+    one while_loop, and the callback sees monotone iterations."""
+    from nabladft_tpu.optimize.lbfgs import lbfgs_relax, relax_chunked
+
+    batch = make_batch(rng)
+    fn = harmonic_ef()
+    ref = lbfgs_relax(fn, batch, fmax=1e-3, max_steps=60, memory=10)
+    seen = []
+    res, state = relax_chunked(
+        fn, batch, fmax=1e-3, max_steps=60, interval=7, memory=10,
+        on_chunk=lambda it, st: seen.append((it, np.asarray(st.pos).copy())),
+    )
+    assert [s[0] for s in seen][0] == 0
+    assert all(b > a for (a, _), (b, _) in zip(seen, seen[1:]))
+    np.testing.assert_allclose(np.asarray(res.pos), np.asarray(ref.pos), atol=1e-5)
+    np.testing.assert_allclose(int(res.nsteps), int(ref.nsteps))
+
+
+def test_lbfgs_save_resume(rng, tmp_path):
+    """Pickle restart (reference optimizers.py:283-290): stop mid-run, save,
+    reload, continue — identical to an uninterrupted run."""
+    from nabladft_tpu.optimize.lbfgs import (
+        load_state, lbfgs_relax, relax_chunked, save_state,
+    )
+
+    batch = make_batch(rng)
+    fn = harmonic_ef()
+    ref = lbfgs_relax(fn, batch, fmax=1e-3, max_steps=40, memory=10)
+
+    _, mid = relax_chunked(fn, batch, fmax=1e-3, max_steps=15, interval=15, memory=10)
+    save_state(mid, tmp_path / "restart.pkl")
+    resumed = load_state(tmp_path / "restart.pkl")
+    assert int(resumed.iteration) == 15
+    res, _ = relax_chunked(
+        fn, batch, fmax=1e-3, max_steps=40, interval=25, memory=10,
+        resume_state=resumed,
+    )
+    np.testing.assert_allclose(np.asarray(res.pos), np.asarray(ref.pos), atol=1e-5)

@@ -54,3 +54,33 @@ def test_optimization_metrics():
     assert m["success_pct"] == pytest.approx(0.0)
     m2 = optimization_metrics(e_init, np.array([-1.0005, -1.0, -1.0]), e_dft)
     assert m2["success_pct"] == pytest.approx(100.0)
+
+
+def test_optimize_task_per_step_trajectories(optim_db_path, tmp_path):
+    """trajectory_interval > 0: per-step extxyz frames + wolfe search
+    (reference optimizers.py:269-277 per-step dump)."""
+    import shutil
+
+    local = tmp_path / "in.db"
+    shutil.copy(optim_db_path, local)
+    traj = tmp_path / "traj"
+    task = BatchwiseOptimizeTask(
+        input_db=local,
+        output_db=tmp_path / "out.db",
+        calculator=harmonic_ef(k=0.5, r0=2.0),
+        batch_size=8,
+        fmax=0.05,
+        steps=20,
+        memory=10,
+        trajectory_dir=traj,
+        trajectory_interval=5,
+        line_search="wolfe",
+        restart_path=tmp_path / "restart.pkl",
+    )
+    stats = task.run()
+    files = sorted(traj.glob("mol_*.extxyz"))
+    assert len(files) == stats["n_molecules"]
+    text = files[0].read_text()
+    n_frames = text.count("energy=")
+    assert n_frames >= 3  # initial + >=2 chunk frames
+    assert (tmp_path / "restart.pkl").exists()
