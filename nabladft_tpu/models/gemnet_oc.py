@@ -12,19 +12,34 @@ TPU re-design highlights:
     batch (interaction_indices.py:13-280, SparseTensor adjacency);
     here all interaction geometry is composed gathers over fixed-K
     neighbor lists — zero dynamic index construction;
-  * "efficient bilinear" basis factorization is replaced by direct dense
-    contractions (at ≤64-atom molecules the MXU prefers one big einsum);
+  * quadruplet topology is the reference's c–a–b–d star (c a neighbor of
+    the receiver a=i, d a neighbor of the sender b=j) with the two bend
+    angles cosφ_cab / cosφ_abd and the plane dihedral θ_cabd
+    (gemnet_oc.py:597-663 calculate_quad_angles) and the legendre_outer
+    basis circ(cosφ_cab) ⊗ circ(cos θ) (layers/spherical_basis.py:104);
+  * the "efficient bilinear" factorization (layers/efficient.py) maps to
+    two einsum contractions: the basis is first contracted against the
+    gathered messages on the MXU, then reduced against the basis embedding
+    — the [.., K, K, E] basis-times-message product never materializes;
   * forces_coupled symmetrization (gemnet_oc.py:1216-1245) is a scatter of
     per-edge force scalars into the dense [B,A,A] pair matrix followed by
     0.5(S+Sᵀ) — exact, no reverse-edge index search;
-  * ScaleFactors are plain learned scalars initialized at 1 (the reference
-    fits them from data when scale_file is provided; scale_basis=True).
+  * ScaleFactors live in a non-trainable "scales" variable collection and
+    are FITTED FROM DATA exactly like the reference
+    (layers/scale_factor.py:29-160: scale = sqrt(var_ref / var_out),
+    variance over the batch axis, mean over features):
+    `fit_scale_factors` runs forward passes with the "scale_stats"
+    collection mutable and iterates the ratio to a fixed point. The
+    trainer freezes the collection during optimization.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
@@ -33,75 +48,151 @@ from nabladft_tpu.ops import graph, radial
 from nabladft_tpu.ops.spherical import legendre_polynomials
 
 
-def _scale(module: nn.Module, name: str, x: jnp.ndarray) -> jnp.ndarray:
-    s = module.param(name, nn.initializers.ones, ())
-    return x * s
+def _scale(module: nn.Module, name: str, x: jnp.ndarray, ref=None) -> jnp.ndarray:
+    """Apply a data-fitted scale factor (reference ScaleFactor.forward,
+    layers/scale_factor.py:139-160). During `fit_scale_factors` the
+    batch-variance statistics of (scaled output, reference tensor) are
+    recorded into the mutable "scale_stats" collection."""
+    s = module.variable("scales", name, lambda: jnp.ones((), jnp.float32))
+    y = x * s.value.astype(x.dtype)
+    if module.is_mutable_collection("scale_stats"):
+        yf = y.astype(jnp.float32)
+        var_out = jnp.var(yf, axis=0).mean()
+        if ref is None:
+            var_ref = jnp.asarray(1.0, jnp.float32)
+        else:
+            var_ref = jnp.var(ref.astype(jnp.float32), axis=0).mean()
+        module.variable(
+            "scale_stats", name, lambda: jnp.zeros((2,), jnp.float32)
+        ).value = jnp.stack([var_out, var_ref])
+    return y
+
+
+def fit_scale_factors(model, variables, batches, rounds: int = 2):
+    """Fit all ScaleFactors from data (reference scale_factor.py fit_():
+    scale ← scale · sqrt(var_ref / var_out), iterated because the observed
+    output variance already includes the current scale). Returns updated
+    variables."""
+    if "scales" not in variables:
+        return variables
+    for _ in range(rounds):
+        acc = {}
+        for batch in batches:
+            _, mut = model.apply(variables, batch, mutable=["scale_stats"])
+            flat = jax.tree_util.tree_flatten_with_path(mut["scale_stats"])[0]
+            for path, val in flat:
+                key = tuple(getattr(p, "key", str(p)) for p in path)
+                v = np.asarray(val)
+                out, ref = acc.get(key, (0.0, 0.0))
+                acc[key] = (out + float(v[0]), ref + float(v[1]))
+
+        def update(path, s):
+            key = tuple(getattr(p, "key", str(p)) for p in path)
+            out, ref = acc.get(key, (1.0, 1.0))
+            ratio = ref / max(out, 1e-12)
+            return s * np.sqrt(max(ratio, 1e-12))
+
+        scales = jax.tree_util.tree_map_with_path(update, variables["scales"])
+        variables = {**variables, "scales": scales}
+    return variables
 
 
 class Residual(nn.Module):
     units: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = jax.nn.silu(nn.Dense(self.units, use_bias=False)(x))
-        h = jax.nn.silu(nn.Dense(self.units, use_bias=False)(h))
+        h = jax.nn.silu(nn.Dense(self.units, use_bias=False, dtype=self.dtype)(x))
+        h = jax.nn.silu(nn.Dense(self.units, use_bias=False, dtype=self.dtype)(h))
         return (x + h) * (2**-0.5)
 
 
-def res_stack(x, n, units, name_prefix):
+def res_stack(x, n, units, name_prefix, dtype=jnp.float32):
     for i in range(n):
-        x = Residual(units, name=f"{name_prefix}_{i}")(x)
+        x = Residual(units, dtype=dtype, name=f"{name_prefix}_{i}")(x)
     return x
 
 
 class TripletInteraction(nn.Module):
     """Edge←edge messages over angles at the shared atom
-    (reference layers/interaction_block.py TripletInteraction)."""
+    (reference layers/interaction_block.py TripletInteraction), with the
+    efficient-bilinear contraction order (layers/efficient.py): the basis
+    is contracted against gathered messages first, so the per-triplet
+    basis-projection tensor never materializes."""
 
     emb_edge: int
     emb_in: int
     emb_out: int
     emb_cbf: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, m, nl, cbf, trip_mask):
-        # m: [B,A,K,E]; cbf: [B,A,K,K,F_cbf]; mask over (edge, neighbor-edge)
-        x = jax.nn.silu(nn.Dense(self.emb_in, use_bias=False, name="dense_db")(m))
-        x_kj = graph.gather_neighbor_edges(x, nl.idx)  # [B,A,K,K,Ein]
-        w = nn.Dense(self.emb_in, use_bias=False, name="mlp_cbf")(cbf)
-        agg = jnp.sum(jnp.where(trip_mask[..., None], x_kj * w, 0.0), axis=3)
-        agg = _scale(self, "scale_cbf_sum", agg)
-        x = jax.nn.silu(nn.Dense(self.emb_out, use_bias=False, name="down")(agg))
-        x = jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, name="up")(x))
+        # m: [B,A,K,E]; cbf: [B,A,K,M,S] premasked; trip_mask: [B,A,K,M]
+        dt = self.dtype
+        x = jax.nn.silu(nn.Dense(self.emb_in, use_bias=False, dtype=dt, name="dense_db")(m))
+        x_kj = graph.gather_neighbor_edges(x, nl.idx)  # [B,A,K,M,Ein]
+        s = cbf.shape[-1]
+        w = self.param(
+            "mlp_cbf", nn.initializers.he_normal(), (s, self.emb_in)
+        ).astype(dt)
+        cbf_m = jnp.where(trip_mask[..., None], cbf, 0.0).astype(dt)
+        r = jnp.einsum("bikms,bikme->bikse", cbf_m, x_kj)  # MXU over m
+        agg = jnp.einsum("bikse,se->bike", r, w)
+        agg = _scale(self, "scale_cbf_sum", agg, ref=x_kj)
+        x = jax.nn.silu(nn.Dense(self.emb_out, use_bias=False, dtype=dt, name="down")(agg))
+        x = jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, dtype=dt, name="up")(x))
         return x
 
 
 class QuadrupletInteraction(nn.Module):
-    """Edge←edge messages over 3-hop chains l→k→j→i with two bend angles
-    and the dihedral (reference QuadrupletInteraction + its host-built
-    quadruplet id arrays, interaction_indices.py:164-280).
-
-    The chain is composed from gathers: for main edge (j→i) at [b,i,k1],
-    second hops are the Kq nearest edges (k→j) (rows of j), third hops the
-    Kq nearest edges (l→k) (rows of k). Messages are sourced from the
-    far edge's embedding, down-projected *before* the chain gathers so the
-    [B,A,K,Kq,Kq,·] tensor stays at `emb_in` width.
-    """
+    """Edge←edge messages over the reference's c–a–b–d quadruplets
+    (c ~ receiver i, d ~ sender j; gemnet_oc.py:597-663): source messages
+    are the (d→j) edge embeddings, modulated by circ(cosφ_abd), then
+    contracted against the legendre_outer basis circ(cosφ_cab)⊗circ(cosθ)
+    with the efficient-bilinear order."""
 
     emb_edge: int
     emb_in: int
     emb_out: int
+    num_spherical: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, m, sbf, x_far_gather, quad_mask):
-        # x_far_gather: callable mapping [B,A,Kq,Ein] -> [B,A,K,Kq,Kq,Ein]
-        x = jax.nn.silu(nn.Dense(self.emb_in, use_bias=False, name="dense_db")(m))
-        x_far = x_far_gather(x)
-        w = nn.Dense(self.emb_in, use_bias=False, name="mlp_sbf")(sbf)
-        agg = jnp.sum(jnp.where(quad_mask[..., None], x_far * w, 0.0), axis=(3, 4))
-        agg = _scale(self, "scale_sbf_sum", agg)
-        x = jax.nn.silu(nn.Dense(self.emb_out, use_bias=False, name="down")(agg))
-        x = jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, name="up")(x))
+    def __call__(self, m, nl, rbf, quad):
+        dt = self.dtype
+        sq = self.num_spherical
+        cos_cab, cos_abd, cos_dih, mask_d, quad_mask = quad
+        x = jax.nn.silu(nn.Dense(self.emb_in, use_bias=False, dtype=dt, name="dense_db")(m))
+        w_rbf = nn.Dense(self.emb_in, use_bias=False, dtype=dt, name="mlp_rbf")(rbf)
+        x = _scale(self, "scale_rbf", x * w_rbf, ref=x)
+        kq = cos_abd.shape[-1]
+        # source: embeddings of edges (d→j), rows of the sender j
+        x_db = graph.gather_nodes(x[:, :, :kq], nl.idx)  # [B,A,K,D,Ein]
+        # bend at the sender: circ(cosφ_abd) modulation
+        leg_abd = legendre_polynomials(cos_abd, sq - 1).astype(dt)  # [B,A,K,D,Sq]
+        w_cbf = self.param(
+            "mlp_cbf", nn.initializers.he_normal(), (sq, self.emb_in)
+        ).astype(dt)
+        t = x_db * jnp.einsum("bikds,se->bikde", leg_abd, w_cbf)
+        t = _scale(self, "scale_cbf_sum", jnp.where(mask_d[..., None], t, 0.0), ref=x_db)
+        # legendre_outer over (cosφ_cab, cosθ): [B,A,K,C,D,Sq*Sq]
+        leg_cab = legendre_polynomials(cos_cab, sq - 1).astype(dt)  # [B,A,K,C,Sq]
+        leg_dih = legendre_polynomials(cos_dih, sq - 1).astype(dt)  # [B,A,K,C,D,Sq]
+        w_sbf = self.param(
+            "mlp_sbf", nn.initializers.he_normal(), (sq * sq, self.emb_in)
+        ).astype(dt)
+        leg_dih = jnp.where(quad_mask[..., None], leg_dih, 0.0)
+        # efficient contraction: sum over (c, d) without materializing the
+        # [.., C, D, Sq², Ein] product, then flatten (s,t) -> Sq² and
+        # contract with the basis embedding
+        r = jnp.einsum("bikcs,bikcdt,bikde->bikste", leg_cab, leg_dih, t)
+        r2 = r.reshape(*r.shape[:3], sq * sq, r.shape[-1])
+        agg = jnp.einsum("bikqe,qe->bike", r2, w_sbf)
+        agg = _scale(self, "scale_sbf_sum", agg, ref=t)
+        x = jax.nn.silu(nn.Dense(self.emb_out, use_bias=False, dtype=dt, name="down")(agg))
+        x = jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, dtype=dt, name="up")(x))
         return x
 
 
@@ -111,42 +202,51 @@ class AtomEdgeInteraction(nn.Module):
 
     emb_edge: int
     emb_rbf: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, m, nl, rbf):
         h_j = graph.gather_nodes(h, nl.idx)  # [B,A,K,H]
-        w = nn.Dense(h.shape[-1], use_bias=False, name="mlp_rbf")(rbf)
+        w = nn.Dense(h.shape[-1], use_bias=False, dtype=self.dtype, name="mlp_rbf")(rbf)
         msg = h_j * w
-        msg = _scale(self, "scale_rbf", msg)
-        return jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, name="proj")(msg))
+        msg = _scale(self, "scale_rbf", msg, ref=h_j)
+        return jax.nn.silu(
+            nn.Dense(self.emb_edge, use_bias=False, dtype=self.dtype, name="proj")(msg)
+        )
 
 
 class EdgeAtomInteraction(nn.Module):
     """Edge→atom aggregation with radial weights."""
 
     emb_atom: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, m, nl, rbf):
-        w = nn.Dense(m.shape[-1], use_bias=False, name="mlp_rbf")(rbf)
+        w = nn.Dense(m.shape[-1], use_bias=False, dtype=self.dtype, name="mlp_rbf")(rbf)
         agg = jnp.sum(jnp.where(nl.mask[..., None], m * w, 0.0), axis=2)
-        agg = _scale(self, "scale_sum", agg)
-        return jax.nn.silu(nn.Dense(self.emb_atom, use_bias=False, name="proj")(agg))
+        agg = _scale(self, "scale_sum", agg, ref=m)
+        return jax.nn.silu(
+            nn.Dense(self.emb_atom, use_bias=False, dtype=self.dtype, name="proj")(agg)
+        )
 
 
 class AtomInteraction(nn.Module):
     """Atom→atom over the (near-full) aint graph with radial weights."""
 
     emb_atom: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, adj, rbf_dense):
         # adj: [B,A,A]; rbf_dense: [B,A,A,R]
-        w = nn.Dense(h.shape[-1], use_bias=False, name="mlp_rbf")(rbf_dense)
+        w = nn.Dense(h.shape[-1], use_bias=False, dtype=self.dtype, name="mlp_rbf")(rbf_dense)
         msg = jnp.where(adj[..., None], w * h[:, None, :, :], 0.0)
         agg = msg.sum(axis=2)
-        agg = _scale(self, "scale_sum", agg)
-        return jax.nn.silu(nn.Dense(self.emb_atom, use_bias=False, name="proj")(agg))
+        agg = _scale(self, "scale_sum", agg, ref=h)
+        return jax.nn.silu(
+            nn.Dense(self.emb_atom, use_bias=False, dtype=self.dtype, name="proj")(agg)
+        )
 
 
 class OutputBlock(nn.Module):
@@ -156,19 +256,23 @@ class OutputBlock(nn.Module):
     emb_atom: int
     emb_edge: int
     num_atom_layers: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, m, nl, rbf):
+        dt = self.dtype
         # atom (energy) branch: edge→atom with rbf weights then MLP
-        w = nn.Dense(self.emb_edge, use_bias=False, name="mlp_rbf_out")(rbf)
+        w = nn.Dense(self.emb_edge, use_bias=False, dtype=dt, name="mlp_rbf_out")(rbf)
         agg = jnp.sum(jnp.where(nl.mask[..., None], m * w, 0.0), axis=2)
-        agg = _scale(self, "scale_out_sum", agg)
-        x_e = jax.nn.silu(nn.Dense(self.emb_atom, use_bias=False, name="atom_proj")(agg))
+        agg = _scale(self, "scale_out_sum", agg, ref=m)
+        x_e = jax.nn.silu(nn.Dense(self.emb_atom, use_bias=False, dtype=dt, name="atom_proj")(agg))
         x = h + x_e
-        x = res_stack(x, self.num_atom_layers, self.emb_atom, "atom_res")
+        x = res_stack(x, self.num_atom_layers, self.emb_atom, "atom_res", dt)
         # force branch: per-edge scalar
-        f = res_stack(m, 2, self.emb_edge, "force_res")
-        f_scalar = nn.Dense(1, use_bias=False, name="force_out")(f)[..., 0]  # [B,A,K]
+        f = res_stack(m, 2, self.emb_edge, "force_res", dt)
+        f_scalar = nn.Dense(1, use_bias=False, name="force_out")(
+            f.astype(jnp.float32)
+        )[..., 0]  # [B,A,K]
         return x, f_scalar
 
 
@@ -207,6 +311,7 @@ class GemNetOC(nn.Module):
     atom_interaction: bool = True
     forces_coupled: bool = True
     remat: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = False  # direct forces (config direct_forces: true)
 
@@ -217,6 +322,7 @@ class GemNetOC(nn.Module):
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
         a_dim = batch.z.shape[1]
+        cdt = jnp.dtype(self.compute_dtype)
         # in the shipped config all four cutoffs coincide at 12 Å
         # (gemnet-oc.yaml:32-35), so the qint/aeaint graphs are prefixes of
         # the main strict-top-k neighbor list (top_k sorts by distance) —
@@ -224,10 +330,10 @@ class GemNetOC(nn.Module):
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
         dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff_aint)
 
-        rbf = jnp.where(nl.mask[..., None], self._rbf(nl.dist), 0.0)
+        rbf = jnp.where(nl.mask[..., None], self._rbf(nl.dist), 0.0).astype(cdt)
         rbf_dense = jnp.where(
             dg.adj[..., None], self._rbf(jnp.where(dg.adj, dg.dist, 0.0)), 0.0
-        )
+        ).astype(cdt)
 
         # circular basis: triplets k→j→i on the main graph
         cos_t, trip_mask = graph.triplet_angles(nl)
@@ -237,103 +343,102 @@ class GemNetOC(nn.Module):
             trip_mask[..., None], self._rbf(d_kj)[..., : self.emb_size_cbf], 0.0
         )
         cbf = jnp.einsum("bikms,bikmr->bikmsr", leg_t, rad_t)
-        cbf = _scale(self, "scale_cbf_basis", cbf.reshape(*cbf.shape[:-2], -1))
+        cbf = _scale(self, "scale_cbf_basis", cbf.reshape(*cbf.shape[:-2], -1)).astype(cdt)
 
-        # quadruplet geometry: chains l→k→j→i (two bends + dihedral)
+        # quadruplet geometry: the reference c–a–b–d star around each main
+        # edge (j→i): c ∈ N(i), d ∈ N(j) (gemnet_oc.py:597-663)
+        quad = None
         if self.quad_interaction:
             kq = self.max_neighbors_qint
-            sq = self.num_spherical_quad
-            idx_j = nl.idx  # [B,A,K] node j of edge (j→i)
-            idx_k = graph.gather_nodes(nl.idx[:, :, :kq], idx_j)  # [B,A,K,Kq]
-            mask_2 = graph.gather_nodes(nl.mask[:, :, :kq], idx_j)
-            v2 = graph.gather_nodes(nl.unit[:, :, :kq], idx_j)  # j→k
-            idx_l = graph.gather_nodes(nl.idx[:, :, :kq], idx_k)  # [B,A,K,Kq,Kq]
-            mask_3 = graph.gather_nodes(nl.mask[:, :, :kq], idx_k)
-            v3 = graph.gather_nodes(nl.unit[:, :, :kq], idx_k)  # k→l
-            v1 = -nl.unit  # j→i
-            cos_1 = jnp.clip(jnp.einsum("bikc,bikqc->bikq", v1, v2), -1, 1)
-            cos_2 = jnp.clip(jnp.einsum("bikqc,bikqpc->bikqp", -v2, v3), -1, 1)
-            # dihedral between planes (i,j,k) and (j,k,l)
-            n1 = jnp.cross(jnp.broadcast_to(v1[..., None, :], v2.shape), v2)
-            n2 = jnp.cross(
-                jnp.broadcast_to(-v2[..., None, :], v3.shape), v3
+            u_ic = nl.unit[:, :, :kq]  # [B,A,C,3]  i→c
+            idx_c = nl.idx[:, :, :kq]
+            mask_c = nl.mask[:, :, :kq]
+            u_jd = graph.gather_nodes(nl.unit[:, :, :kq], nl.idx)  # [B,A,K,D,3] j→d
+            idx_d = graph.gather_nodes(nl.idx[:, :, :kq], nl.idx)
+            mask_d = graph.gather_nodes(nl.mask[:, :, :kq], nl.idx) & nl.mask[..., None]
+            # cosφ_cab: angle (c→a) vs (b→a) at a=i; both signs cancel
+            cos_cab = jnp.clip(
+                jnp.einsum("bicx,bikx->bikc", u_ic, nl.unit), -1, 1
             )
-            n1n = jnp.linalg.norm(n1, axis=-1, keepdims=True)
-            n2n = jnp.linalg.norm(n2, axis=-1)
-            cos_d = jnp.einsum(
-                "bikqc,bikqpc->bikqp",
-                n1 / jnp.maximum(n1n, 1e-9),
-                n2 / jnp.maximum(n2n[..., None], 1e-9),
+            # cosφ_abd: angle (a→b) vs (b→d) at b=j
+            cos_abd = jnp.clip(
+                jnp.einsum("bikx,bikdx->bikd", nl.unit, u_jd), -1, 1
             )
-            cos_d = jnp.clip(cos_d, -1, 1)
-            leg_1 = legendre_polynomials(cos_1, sq - 1)  # [B,A,K,Kq,Sq]
-            leg_2 = legendre_polynomials(cos_2, sq - 1)  # [B,A,K,Kq,Kq,Sq]
-            leg_d = legendre_polynomials(cos_d, sq - 1)
-            outer = jnp.einsum("bikqs,bikqpt->bikqpst", leg_1, leg_2)
-            outer = outer.reshape(*outer.shape[:-2], sq * sq)
-            quad_basis = jnp.concatenate([outer, leg_d], axis=-1)
-            # degenerate-chain exclusions: k ≠ i, l ≠ j
+            # dihedral between planes (c,a,b) and (a,b,d):
+            # n1 = V_ca × V_ba = u_ic × u_ij ; n2 = V_db × V_ba = u_jd × u_ij
+            u_ij = nl.unit  # i→j (note V_ba = j→i = -u_ij; sign cancels in both)
+            n1 = jnp.cross(
+                jnp.broadcast_to(u_ic[:, :, None], (*nl.idx.shape, kq, 3)),
+                u_ij[:, :, :, None, :],
+            )  # [B,A,K,C,3]
+            n2 = jnp.cross(u_jd, u_ij[:, :, :, None, :])  # [B,A,K,D,3]
+            n1n = jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-9)
+            n2n = jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-9)
+            cos_dih = jnp.clip(
+                jnp.einsum("bikcx,bikdx->bikcd", n1 / n1n, n2 / n2n), -1, 1
+            )
+            # exclusions: c ≠ j (degenerate plane), d ≠ i (back edge)
+            idx_j = nl.idx
             i_ids = jnp.arange(a_dim)[None, :, None, None]
             quad_mask = (
-                nl.mask[..., None, None]
-                & mask_2[..., None]
-                & mask_3
-                & (idx_k != i_ids)[..., None]
-                & (idx_l != idx_j[..., None, None])
+                nl.mask[:, :, :, None, None]
+                & mask_c[:, :, None, :, None]
+                & (idx_c[:, :, None, :, None] != idx_j[..., None, None])
+                & mask_d[:, :, :, None, :]
+                & (idx_d[:, :, :, None, :] != i_ids[..., None])
             )
-            sbf = nn.Dense(self.emb_size_sbf, use_bias=False, name="sbf_proj")(quad_basis)
-            sbf = _scale(self, "scale_sbf_basis", sbf)
+            quad = (cos_cab, cos_abd, cos_dih, mask_d, quad_mask)
 
-            def x_far_gather(x):
-                return graph.gather_nodes(x[:, :, :kq], idx_k)
-
-        h = nn.Embed(self.num_elements, self.emb_size_atom, name="atom_emb")(batch.z)
+        h = nn.Embed(self.num_elements, self.emb_size_atom, dtype=cdt, name="atom_emb")(batch.z)
         h_j = graph.gather_nodes(h, nl.idx)
         h_i = jnp.broadcast_to(h[:, :, None], h_j.shape)
         m = jax.nn.silu(
-            nn.Dense(self.emb_size_edge, name="edge_emb")(
+            nn.Dense(self.emb_size_edge, dtype=cdt, name="edge_emb")(
                 jnp.concatenate([h_i, h_j, rbf], axis=-1)
             )
         )
 
-        e_out = jnp.zeros((*batch.z.shape, self.emb_size_atom))
+        e_out = jnp.zeros((*batch.z.shape, self.emb_size_atom), cdt)
         f_out = jnp.zeros(nl.mask.shape)
         x0, f0 = OutputBlock(
-            self.emb_size_atom, self.emb_size_edge, self.num_atom, name="out_0"
+            self.emb_size_atom, self.emb_size_edge, self.num_atom, dtype=cdt, name="out_0"
         )(h, m, nl, rbf)
         e_out, f_out = e_out + x0, f_out + f0
 
         for b in range(self.num_blocks):
             m_new = TripletInteraction(
                 self.emb_size_edge, self.emb_size_trip_in, self.emb_size_trip_out,
-                self.emb_size_cbf, name=f"trip_{b}",
+                self.emb_size_cbf, dtype=cdt, name=f"trip_{b}",
             )(m, nl, cbf, trip_mask)
             contributions = [m_new]
             if self.quad_interaction:
                 contributions.append(
                     QuadrupletInteraction(
                         self.emb_size_edge, self.emb_size_quad_in,
-                        self.emb_size_quad_out, name=f"quad_{b}",
-                    )(m, sbf, x_far_gather, quad_mask)
+                        self.emb_size_quad_out, self.num_spherical_quad,
+                        dtype=cdt, name=f"quad_{b}",
+                    )(m, nl, rbf, quad)
                 )
             if self.atom_edge_interaction:
                 contributions.append(
                     AtomEdgeInteraction(
-                        self.emb_size_edge, self.emb_size_rbf, name=f"ae_{b}"
+                        self.emb_size_edge, self.emb_size_rbf, dtype=cdt, name=f"ae_{b}"
                     )(h, m, nl, rbf)
                 )
             m = (m + sum(contributions)) * (len(contributions) + 1) ** -0.5
-            m = res_stack(m, self.num_before_skip, self.emb_size_edge, f"before_{b}")
-            m = res_stack(m, self.num_after_skip, self.emb_size_edge, f"after_{b}")
+            m = res_stack(m, self.num_before_skip, self.emb_size_edge, f"before_{b}", cdt)
+            m = res_stack(m, self.num_after_skip, self.emb_size_edge, f"after_{b}", cdt)
 
             atom_contrib = []
             if self.edge_atom_interaction:
                 atom_contrib.append(
-                    EdgeAtomInteraction(self.emb_size_atom, name=f"ea_{b}")(m, nl, rbf)
+                    EdgeAtomInteraction(self.emb_size_atom, dtype=cdt, name=f"ea_{b}")(
+                        m, nl, rbf
+                    )
                 )
             if self.atom_interaction:
                 atom_contrib.append(
-                    AtomInteraction(self.emb_size_atom, name=f"aa_{b}")(
+                    AtomInteraction(self.emb_size_atom, dtype=cdt, name=f"aa_{b}")(
                         h, dg.adj, rbf_dense
                     )
                 )
@@ -341,12 +446,13 @@ class GemNetOC(nn.Module):
                 h = (h + sum(atom_contrib)) * (len(atom_contrib) + 1) ** -0.5
 
             x_b, f_b = OutputBlock(
-                self.emb_size_atom, self.emb_size_edge, self.num_atom, name=f"out_{b + 1}"
+                self.emb_size_atom, self.emb_size_edge, self.num_atom,
+                dtype=cdt, name=f"out_{b + 1}"
             )(h, m, nl, rbf)
             e_out, f_out = e_out + x_b, f_out + f_b
 
         # energy head: global MLP over summed atom contributions (extensive)
-        e = e_out
+        e = e_out.astype(jnp.float32)
         for i in range(self.num_global_out_layers):
             e = jax.nn.silu(nn.Dense(self.emb_size_atom, use_bias=False, name=f"out_e_{i}")(e))
         e_atom = nn.Dense(1, use_bias=False, name="energy_out")(e)[..., 0]

@@ -94,6 +94,11 @@ class TrainerConfig:
     force_grads: str = "direct"
     # legacy alias: True ≡ force_grads="surrogate"
     fast_force_grads: bool = False
+    # fit data-driven ScaleFactors (models with a "scales" variable
+    # collection, e.g. GemNet-OC) from the first training batches before
+    # optimization — reference gemnet_oc scale_file / fit semantics
+    fit_scale_factors: bool = True
+    scale_fit_batches: int = 4
 
 
 class Trainer:
@@ -299,6 +304,12 @@ class Trainer:
             grads, (losses, out) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # non-"params" collections (fitted scale factors, ...) are frozen:
+        # restore them verbatim after the optimizer step
+        if isinstance(params, dict):
+            for coll in params:
+                if coll != "params":
+                    params[coll] = state.params[coll]
         # NaN guard: skip the update entirely when the gradient is non-finite
         # (the compiled analog of the reference's failure handling — PhiSNet's
         # skip-batch loop, train.py:347-358, and GemNet's ForceScaler retry)
@@ -374,6 +385,22 @@ class Trainer:
             # reference parity: Lightning persists lr-scheduler state in
             # checkpoints; restore the plateau counters alongside
             self._restore_aux(self.ckpt.read_aux(Path(ckpt_path)))
+        if (
+            cfg.fit_scale_factors
+            and not ckpt_path
+            and isinstance(self.state.params, dict)
+            and "scales" in self.state.params
+        ):
+            from nabladft_tpu.models.gemnet_oc import fit_scale_factors
+
+            fit_batches = []
+            for i, bb in enumerate(train_loader):
+                fit_batches.append(bb)
+                if i + 1 >= cfg.scale_fit_batches:
+                    break
+            logger.info("fitting scale factors from %d batches", len(fit_batches))
+            new_vars = fit_scale_factors(self.model, self.state.params, fit_batches)
+            self.state = self.state.replace(params=new_vars)
 
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)
