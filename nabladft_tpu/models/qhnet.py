@@ -397,6 +397,14 @@ class QHNet(nn.Module):
     start_layer: int = 2
     orbitals: Optional[Dict[int, Tuple[int, ...]]] = None
     remat: bool = True
+    # assemble the dense [B,O,O] matrix (eval/predict) or return the
+    # block-space "super matrix" [B,A*R,A*R] (training): assembling via the
+    # one-hot einsum costs O(B*A*A*R*O) intermediates — 91 GB at the
+    # production bucket (B=32,A=62,O=640) — while block space peaks at the
+    # [B,A,A,R,R] tensor the model materializes anyway (SURVEY §7's
+    # per-block-loss recommendation). Losses/metrics in block space are
+    # element-for-element identical to the masked full-matrix ones.
+    assemble_matrix: bool = True
 
     derivative_forces = False
 
@@ -449,11 +457,20 @@ class QHNet(nn.Module):
             ],
             axis=-1,
         )
-        w_ij = MLP([c, n_w], name="fc_ij")(pair_scal)
-        b_ij = MLP([c, n_b], name="fc_ij_bias")(pair_scal)
+        # the pair head is the memory peak: fc_ij produces [B,A,A,n_w]
+        # (n_w ≈ 6.4k for the full def2-SVP layout) and the CG expansion
+        # adds per-path [B,A,A,cb,mul,mul] intermediates — remat the whole
+        # head so the backward recomputes instead of holding them
+        def pair_head(fij, pair_scal):
+            w_ij = MLP([c, n_w], name="fc_ij")(pair_scal)
+            b_ij = MLP([c, n_b], name="fc_ij_bias")(pair_scal)
+            return Expansion(layout, name="expand_ij")(fij, w_ij, b_ij)
 
         diag = Expansion(layout, name="expand_ii")(fii, w_ii, b_ii)  # [B,A,R,R]
-        off = Expansion(layout, name="expand_ij")(fij, w_ij, b_ij)  # [B,A,A,R,R]
+        if self.remat:
+            off = nn.remat(lambda mdl, a, b: pair_head(a, b))(self, fij, pair_scal)
+        else:
+            off = pair_head(fij, pair_scal)
 
         if o_max is None:
             return {"diag_blocks": diag, "off_blocks": off}
@@ -469,10 +486,27 @@ class QHNet(nn.Module):
         p = jax.nn.one_hot(jnp.where(v, tgt, o_max), o_max, dtype=diag.dtype)
         p = p * v[..., None]  # [B,A,R,O]
 
-        h = jnp.einsum("biro,birs,bisq->boq", p, diag, p)
-        # off-diagonal: mask out i==j (diag handled above)
         eye = jnp.eye(off.shape[1], dtype=bool)
         off = jnp.where(~eye[None, :, :, None, None] & full_mask[..., None, None], off, 0.0)
+        if not self.assemble_matrix:
+            # block-space output: symmetrized M + Mᵀ entirely per block
+            sym_diag = diag + jnp.swapaxes(diag, -1, -2)
+            sym_off = off + jnp.transpose(off, (0, 2, 1, 4, 3))
+            blocks = sym_off + jnp.where(
+                eye[None, :, :, None, None], sym_diag[:, :, None], 0.0
+            )
+            b, a = batch.z.shape
+            r = diag.shape[-1]
+            super_pred = jnp.transpose(blocks, (0, 1, 3, 2, 4)).reshape(
+                b, a * r, a * r
+            )
+            return {
+                "hamiltonian_blocks": super_pred,
+                "block_index": jax.lax.stop_gradient(jnp.where(v, tgt, 0)),
+                "block_valid": v,
+            }
+        h = jnp.einsum("biro,birs,bisq->boq", p, diag, p)
+        # off-diagonal: mask out i==j (diag handled above)
         h = h + jnp.einsum("biro,bijrs,bjsq->boq", p, off, p)
         h = h + jnp.swapaxes(h, -1, -2)  # symmetrize (reference qhnet.py:236)
         return {"hamiltonian": h}

@@ -62,6 +62,22 @@ def matrix_rmse_mae(pred, target, pair_mask) -> jnp.ndarray:
     return jnp.sqrt(mse + _EPS) + mae
 
 
+def block_target_matrix(target_mat, idx, valid, graph_mask):
+    """Gather the target matrix into block-space super-matrix form.
+
+    idx/valid: [B,A,R] per-(atom, generic-slot) orbital index / validity
+    (from the model's static orbital layout). Returns (tgt [B,AR,AR],
+    mask [B,AR,AR]); every valid orbital pair appears exactly once, so
+    masked losses/metrics over this space equal the full-matrix ones."""
+    b, a, r = idx.shape
+    flat = idx.reshape(b, a * r)
+    rows = jnp.take_along_axis(target_mat, flat[:, :, None], axis=1)
+    tgt = jnp.take_along_axis(rows, flat[:, None, :], axis=2)
+    vm = valid.reshape(b, a * r)
+    mask = vm[:, :, None] & vm[:, None, :] & graph_mask[:, None, None]
+    return tgt, mask
+
+
 LOSS_FNS = {
     "energy_l1": energy_l1,
     "energy_mse": energy_mse,
@@ -92,9 +108,16 @@ def multitask_loss(
             fn = LOSS_FNS[f"forces_{kind}"]
             val = fn(out["forces"], batch.forces, batch.node_mask)
         elif target in ("hamiltonian", "overlap", "core"):
-            pm = batch.orb_mask[:, :, None] & batch.orb_mask[:, None, :]
-            pm = pm & batch.graph_mask[:, None, None]
-            val = matrix_rmse_mae(out[target], getattr(batch, target), pm)
+            if target not in out and f"{target}_blocks" in out:
+                tgt, pm = block_target_matrix(
+                    getattr(batch, target), out["block_index"],
+                    out["block_valid"], batch.graph_mask,
+                )
+                val = matrix_rmse_mae(out[f"{target}_blocks"], tgt, pm)
+            else:
+                pm = batch.orb_mask[:, :, None] & batch.orb_mask[:, None, :]
+                pm = pm & batch.graph_mask[:, None, None]
+                val = matrix_rmse_mae(out[target], getattr(batch, target), pm)
         else:
             raise KeyError(f"unknown loss target {target!r}")
         losses[target] = val

@@ -27,12 +27,24 @@ def batch_metric_sums(out: Dict, batch) -> Dict[str, jnp.ndarray]:
         sums["forces/abs_sum"] = err.sum()
         sums["forces/count"] = 3.0 * batch.node_mask.sum().astype(jnp.float32)
     for target in ("hamiltonian", "overlap", "core"):
-        if target in out and getattr(batch, target, None) is not None:
+        if getattr(batch, target, None) is None:
+            continue
+        if target in out:
             pm = batch.orb_mask[:, :, None] & batch.orb_mask[:, None, :]
             pm = pm & batch.graph_mask[:, None, None]
             err = jnp.abs(out[target] - getattr(batch, target))
-            sums[f"{target}/abs_sum"] = jnp.sum(jnp.where(pm, err, 0.0))
-            sums[f"{target}/count"] = pm.sum().astype(jnp.float32)
+        elif f"{target}_blocks" in out:
+            from nabladft_tpu.train.losses import block_target_matrix
+
+            tgt, pm = block_target_matrix(
+                getattr(batch, target),
+                out["block_index"], out["block_valid"], batch.graph_mask,
+            )
+            err = jnp.abs(out[f"{target}_blocks"] - tgt)
+        else:
+            continue
+        sums[f"{target}/abs_sum"] = jnp.sum(jnp.where(pm, err, 0.0))
+        sums[f"{target}/count"] = pm.sum().astype(jnp.float32)
     return sums
 
 

@@ -211,3 +211,32 @@ def test_phisnet_energy_forces_heads(rng):
     np.testing.assert_allclose(
         np.asarray(out["energy"]), np.asarray(out_t["energy"]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_qhnet_block_loss_equals_matrix_loss(rng):
+    """Block-space (assemble_matrix=False) loss and MAE equal the masked
+    full-matrix ones (SURVEY §7 per-block-loss equivalence)."""
+    from nabladft_tpu.train.losses import multitask_loss
+    from nabladft_tpu.train.metrics import batch_metric_sums
+
+    batch = make_ham_batch(np.random.default_rng(4))
+    kw = dict(hidden=8, bottle_hidden=4, num_layers=2, rbf_dim=8,
+              start_layer=0, orbitals=ORBITALS, remat=False)
+    m_full = create_model("qhnet", assemble_matrix=True, **kw)
+    m_blk = create_model("qhnet", assemble_matrix=False, **kw)
+    variables = jax.jit(m_full.init)(jax.random.PRNGKey(0), batch)
+    specs = {"hamiltonian": "rmse_mae"}
+    coefs = {"hamiltonian": 1.0}
+
+    out_f = m_full.apply(variables, batch)
+    out_b = m_blk.apply(variables, batch)
+    l_f = multitask_loss(out_f, batch, specs, coefs)["total"]
+    l_b = multitask_loss(out_b, batch, specs, coefs)["total"]
+    np.testing.assert_allclose(float(l_b), float(l_f), rtol=1e-5)
+
+    s_f = batch_metric_sums(out_f, batch)
+    s_b = batch_metric_sums(out_b, batch)
+    np.testing.assert_allclose(
+        float(s_b["hamiltonian/abs_sum"]), float(s_f["hamiltonian/abs_sum"]), rtol=1e-5
+    )
+    assert float(s_b["hamiltonian/count"]) == float(s_f["hamiltonian/count"])
