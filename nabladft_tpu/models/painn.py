@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
-from nabladft_tpu.models.base import MLP, ModelOutput, register_model
+from nabladft_tpu.models.base import MLP, ModelOutput, register_model, shifted_softplus
 from nabladft_tpu.ops import graph, radial
 from nabladft_tpu.ops.pallas.painn_fused import (
     painn_message,
@@ -66,7 +66,7 @@ class PaiNNMessage(nn.Module):
     @nn.compact
     def __call__(self, s, v, feats):
         """feats: dict with dist, rbf_env [B,A,A,R], rbfp, unit_t [B,A,3,A],
-        adjf [B,A,A] (float adjacency). rbf_env/rbfp are premasked."""
+        envf [B,A,A] (premasked cutoff envelope). rbf_env/rbfp premasked."""
         f = self.hidden
         r = feats["rbf_env"].shape[-1]
         phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level)
@@ -85,11 +85,13 @@ class PaiNNMessage(nn.Module):
                 feats["dist"], feats["rbf_env"], feats["rbfp"],
                 phi, v_flat, feats["unit_t"], wc, interpret,
             )
-        # bias terms, bypassing the radial basis: b ⊙ Σ_j mask·φ_j(-like);
-        # kept outside the kernels (cheap [A,A]@[A,F] MXU contractions) so
-        # the kernels see bias-free, premasked messages
+        # bias terms, bypassing the radial basis: schnetpack's filter is
+        # (rbf@W + b)·env (PaiNN filter_net * cutoff), so the bias rides the
+        # envelope: b ⊙ Σ_j env_ij·φ_j(-like). Kept outside the kernels
+        # (cheap [A,A]@[A,F] MXU contractions) so the kernels see
+        # bias-free, premasked messages.
         bc = b.astype(self.dtype)
-        adjf = feats["adjf"]
+        adjf = feats["envf"]
         phi1 = phi[..., f : 2 * f]
         q = jnp.concatenate(
             [phi[..., :f]]
@@ -102,7 +104,11 @@ class PaiNNMessage(nn.Module):
             [bc[f : 2 * f] * nb[..., (c + 1) * f : (c + 2) * f] for c in range(3)],
             axis=-1,
         )
-        dvu_b = jnp.einsum("bicj,bjf->bicf", feats["unit_t"], phi[..., 2 * f :])
+        dvu_b = jnp.einsum(
+            "bicj,bjf->bicf",
+            feats["unit_t"] * feats["envf"][:, :, None, :],
+            phi[..., 2 * f :],
+        )
         dv_flat = dv_flat + (bc[2 * f :] * dvu_b).reshape(*ds.shape[:2], 3 * f)
         return ds, dv_flat.reshape(*v.shape)
 
@@ -194,9 +200,13 @@ class PaiNN(nn.Module):
                 env = radial.cosine_cutoff(d, self.cutoff)
             return jnp.where(adj[..., None], rb * env[..., None], 0.0).astype(cdt)
 
+        if self.envelope == "polynomial":
+            envp = radial.polynomial_envelope(dist / self.cutoff, self.envelope_exponent)
+        else:
+            envp = radial.cosine_cutoff(dist, self.cutoff)
         feats = {
             "dist": dist,
-            "adjf": adj.astype(cdt),
+            "envf": jnp.where(adj, envp, 0.0).astype(cdt),
             "unit_t": unit_t.astype(cdt),
             "rbfp": None,
         }
@@ -221,7 +231,9 @@ class PaiNN(nn.Module):
                 f, dtype=cdt, use_pallas=mode, name=f"layer_{i}"
             )(s, v, feats)
 
-        e_atom = MLP([f // 2, 1], name="energy_head")(s.astype(jnp.float32))[..., 0]
+        e_atom = MLP([f // 2, 1], activation=shifted_softplus, name="energy_head")(
+            s.astype(jnp.float32)
+        )[..., 0]  # schnetpack Atomwise outnet uses shifted softplus
         e_atom = e_atom * self.energy_std + self.energy_mean
         energy = masked_sum(e_atom, batch.node_mask, axis=1)
         return {"energy": energy}

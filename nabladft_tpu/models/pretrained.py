@@ -82,7 +82,8 @@ def convert_schnet(state: Dict[str, np.ndarray], params: Dict) -> Dict:
     p = params["params"]
     pre = "model.representation."
     _fill(p, "atom_embedding/embedding", state[pre + "embedding.weight"])
-    for i in range(len([k for k in state if k.startswith(pre + "interactions")]) // 8):
+    n_keys = len([k for k in state if k.startswith(pre + "interactions")])
+    for i in range(n_keys // 9):  # 9 tensors per schnetpack SchNetInteraction
         b = f"{pre}interactions.{i}."
         _fill(p, f"filter_{i}_0/kernel", _t(state[b + "filter_network.0.weight"]))
         _fill(p, f"filter_{i}_0/bias", state[b + "filter_network.0.bias"])
@@ -101,44 +102,76 @@ def convert_schnet(state: Dict[str, np.ndarray], params: Dict) -> Dict:
     return params
 
 
+def _perm_msg(cols: np.ndarray, f: int, axis: int = -1) -> np.ndarray:
+    """schnetpack message channels (dq, dmuR·û, dmumu·μ_j) → framework
+    channels (ds, v-term, û-term): [0:F | 2F:3F | F:2F]."""
+    parts = np.split(cols, 3, axis=axis)
+    return np.concatenate([parts[0], parts[2], parts[1]], axis=axis)
+
+
+def _perm_upd(cols: np.ndarray, f: int, axis: int = -1) -> np.ndarray:
+    """schnetpack mixing gates (dq, dmu, dqmu) → framework (a_vv, a_sv,
+    a_ss) = (dmu, dqmu, dq)."""
+    parts = np.split(cols, 3, axis=axis)
+    return np.concatenate([parts[1], parts[2], parts[0]], axis=axis)
+
+
 @register_converter("painn")
 def convert_painn(state: Dict[str, np.ndarray], params: Dict) -> Dict:
-    """schnetpack PaiNN → models.painn.PaiNN (dense-pair formulation keeps
-    the same parameter shapes: message filters are the 3F Dense split in
-    three; update blocks map 1:1)."""
+    """schnetpack PaiNN → models.painn.PaiNN. The dense-pair formulation
+    keeps identical parameter shapes; channel ORDER differs: the framework's
+    message splits are (scalar, μ_j-term, û-term) vs schnetpack's
+    (dq, dmuR·û, dmumu·μ_j), and its update gates are (a_vv, a_sv, a_ss)
+    vs schnetpack's (dq, dmu, dqmu) — hence the column permutations.
+    Verified against a functional-torch schnetpack forward in
+    tests/models/test_pretrained_converters.py."""
     p = params["params"]
     pre = "model.representation."
     _fill(p, "atom_embedding/embedding", state[pre + "embedding.weight"])
-    n_layers = len({k.split(".")[2] for k in state if k.startswith(pre + "interactions")})
+    n_layers = len({k.split(".")[3] for k in state if k.startswith(pre + "interactions")})
+    f = state[pre + "embedding.weight"].shape[1]
+    # shared filter net: one Dense(n_rbf -> n_layers*3F); slice per layer
+    fw = _t(state[pre + "filter_net.weight"])  # [R, L*3F]
+    fb = state[pre + "filter_net.bias"]
     for i in range(n_layers):
         li = f"layer_{i}"
         b = f"{pre}interactions.{i}."
-        # intra-atom phi MLP
+        # intra-atom phi MLP; last layer's 3F outputs permuted to our order
         _fill(p, f"{li}/message/MLP_0/Dense_0/kernel", _t(state[b + "interatomic_context_net.0.weight"]))
         _fill(p, f"{li}/message/MLP_0/Dense_0/bias", state[b + "interatomic_context_net.0.bias"])
-        _fill(p, f"{li}/message/MLP_0/Dense_1/kernel", _t(state[b + "interatomic_context_net.1.weight"]))
-        _fill(p, f"{li}/message/MLP_0/Dense_1/bias", state[b + "interatomic_context_net.1.bias"])
-        # filter Dense (schnetpack: one shared filter net per layer slice)
-        w = _t(state[f"{pre}filter_net.weight"]) if f"{pre}filter_net.weight" in state else None
-        if w is not None:
-            f = w.shape[1] // (3 * n_layers)
-            sl = w[:, i * 3 * f : (i + 1) * 3 * f]
-            _fill(p, f"{li}/message/w_s/kernel", sl[:, :f])
-            _fill(p, f"{li}/message/w_vv/kernel", sl[:, f : 2 * f])
-            _fill(p, f"{li}/message/w_vs/kernel", sl[:, 2 * f :])
+        _fill(p, f"{li}/message/MLP_0/Dense_1/kernel", _perm_msg(_t(state[b + "interatomic_context_net.1.weight"]), f))
+        _fill(p, f"{li}/message/MLP_0/Dense_1/bias", _perm_msg(state[b + "interatomic_context_net.1.bias"], f))
+        sl = fw[:, i * 3 * f : (i + 1) * 3 * f]
+        _fill(p, f"{li}/message/filter_kernel", _perm_msg(sl, f))
+        _fill(p, f"{li}/message/filter_bias", _perm_msg(fb[i * 3 * f : (i + 1) * 3 * f], f))
         u = f"{pre}mixing.{i}."
-        _fill(p, f"{li}/update/Dense_0/kernel", _t(state[u + "mu_channel_mix.0.weight"])[..., : p[li]["update"]["Dense_0"]["kernel"].shape[-1]])
-        _fill(p, f"{li}/update/Dense_1/kernel", _t(state[u + "mu_channel_mix.0.weight"])[..., p[li]["update"]["Dense_0"]["kernel"].shape[-1] :])
+        mix = _t(state[u + "mu_channel_mix.weight"])  # [F, 2F] = (mu_V | mu_W)
+        _fill(p, f"{li}/update/Dense_0/kernel", mix[:, f:])   # u  <- mu_W
+        _fill(p, f"{li}/update/Dense_1/kernel", mix[:, :f])   # vv <- mu_V
         _fill(p, f"{li}/update/MLP_0/Dense_0/kernel", _t(state[u + "intraatomic_context_net.0.weight"]))
         _fill(p, f"{li}/update/MLP_0/Dense_0/bias", state[u + "intraatomic_context_net.0.bias"])
-        _fill(p, f"{li}/update/MLP_0/Dense_1/kernel", _t(state[u + "intraatomic_context_net.1.weight"]))
-        _fill(p, f"{li}/update/MLP_0/Dense_1/bias", state[u + "intraatomic_context_net.1.bias"])
+        _fill(p, f"{li}/update/MLP_0/Dense_1/kernel", _perm_upd(_t(state[u + "intraatomic_context_net.1.weight"]), f))
+        _fill(p, f"{li}/update/MLP_0/Dense_1/bias", _perm_upd(state[u + "intraatomic_context_net.1.bias"], f))
     out_pre = "model.output_modules.0.outnet."
     _fill(p, "energy_head/Dense_0/kernel", _t(state[out_pre + "0.weight"]))
     _fill(p, "energy_head/Dense_0/bias", state[out_pre + "0.bias"])
     _fill(p, "energy_head/Dense_1/kernel", _t(state[out_pre + "1.weight"]))
     _fill(p, "energy_head/Dense_1/bias", state[out_pre + "1.bias"])
     return params
+
+
+def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example_batch):
+    """Convert a torch state dict into `model`'s parameter tree (the
+    download-free core of get_pretrained_params, used by the golden tests)."""
+    import jax
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_batch)
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
+    converted = _CONVERTERS[family.lower()](state, params)
+    return jax.tree_util.tree_map(np.asarray, converted)
 
 
 def get_pretrained_params(
@@ -162,13 +195,7 @@ def get_pretrained_params(
         )
     path = checkpoint_registry.download(name, Path(cache_dir) / f"{name}.ckpt")
     state = load_torch_state_dict(path)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_batch)
-    params = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
-    import flax
-
-    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
-    converted = _CONVERTERS[family](state, params)
-    return jax.tree_util.tree_map(np.asarray, converted)
+    return convert_state_dict(family, state, model, example_batch)
 
 
 def load_pretrained_into(train_state, name: str):
