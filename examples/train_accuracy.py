@@ -83,7 +83,16 @@ def main():
 
     ds, test_ds, split_name = try_download_tiny(Path("datasets"))
     if ds is None:
-        ds = EnergyDataset(FIXTURE_DB)
+        # copy the read-only reference fixture to a workdir so the dataset's
+        # sidecar cache never lands in the reference tree
+        import shutil
+
+        local = Path("datasets/fixture")
+        local.mkdir(parents=True, exist_ok=True)
+        local_db = local / FIXTURE_DB.name
+        if not local_db.exists():
+            shutil.copy(FIXTURE_DB, local_db)
+        ds = EnergyDataset(local_db)
         idx = seeded_random_split(len(ds), [0.8, 0.1, 0.1], seed=7)
         train_idx, val_idx, test_idx = idx
         dm = SplitModule(ds, train_idx, val_idx, batch_size=32)

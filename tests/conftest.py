@@ -31,20 +31,28 @@ REPO_DIR = TESTS_DIR.parent
 REFERENCE_FIXTURES = Path("/root/reference/tests/data/raw")
 
 
-@pytest.fixture(scope="session")
-def energy_db_path() -> Path:
-    p = REFERENCE_FIXTURES / "test_database.db"
-    if not p.exists():
+def _fixture_copy(name: str, tmp_root: Path) -> Path:
+    """Session-scoped tmp copy: the framework may write sidecar caches next
+    to a DB; the reference tree must stay pristine."""
+    src = REFERENCE_FIXTURES / name
+    if not src.exists():
         pytest.skip("reference fixture DB not available")
-    return p
+    dst = tmp_root / name
+    if not dst.exists():
+        import shutil
+
+        shutil.copy(src, dst)
+    return dst
 
 
 @pytest.fixture(scope="session")
-def optim_db_path() -> Path:
-    p = REFERENCE_FIXTURES / "test_optim_database.db"
-    if not p.exists():
-        pytest.skip("reference fixture DB not available")
-    return p
+def energy_db_path(tmp_path_factory) -> Path:
+    return _fixture_copy("test_database.db", tmp_path_factory.mktemp("fixtures"))
+
+
+@pytest.fixture(scope="session")
+def optim_db_path(tmp_path_factory) -> Path:
+    return _fixture_copy("test_optim_database.db", tmp_path_factory.mktemp("fixtures"))
 
 
 @pytest.fixture()
