@@ -63,6 +63,7 @@ class SO2ConvEq(nn.Module):
     m_max: int
     out_channels: int
     extra_m0_channels: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_l: List[jnp.ndarray], x_edge=None):
@@ -70,7 +71,8 @@ class SO2ConvEq(nn.Module):
         centers = [min(l, M) for l in range(L + 1)]
         x0 = jnp.stack([x_l[l][..., centers[l], :] for l in range(L + 1)], axis=-2)
         flat0 = x0.reshape(*x0.shape[:-2], -1)
-        h0 = nn.Dense((L + 1) * co + self.extra_m0_channels, use_bias=False, name="fc_m0")(flat0)
+        h0 = nn.Dense((L + 1) * co + self.extra_m0_channels, use_bias=False,
+                      dtype=self.dtype, name="fc_m0")(flat0)
         extra = h0[..., (L + 1) * co :]
         out0 = h0[..., : (L + 1) * co].reshape(*x0.shape[:-2], L + 1, co)
         outs = {0: out0}
@@ -81,8 +83,8 @@ class SO2ConvEq(nn.Module):
             n_l = len(ls)
             fp = xp.reshape(*xp.shape[:-2], -1)
             fm = xm.reshape(*xm.shape[:-2], -1)
-            wr = nn.Dense(n_l * co, use_bias=False, name=f"fc_r_m{m}")
-            wi = nn.Dense(n_l * co, use_bias=False, name=f"fc_i_m{m}")
+            wr = nn.Dense(n_l * co, use_bias=False, dtype=self.dtype, name=f"fc_r_m{m}")
+            wi = nn.Dense(n_l * co, use_bias=False, dtype=self.dtype, name=f"fc_i_m{m}")
             op = (wr(fp) - wi(fm)).reshape(*xp.shape[:-2], n_l, co)
             om = (wr(fm) + wi(fp)).reshape(*xm.shape[:-2], n_l, co)
             outs[m] = (op, om)
@@ -107,16 +109,17 @@ class GridFFN(nn.Module):
     hidden: int
     out_channels: int
     grid_points: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [B,A,S,C]
         to_g, from_g = _grid_mats(self.l_max, self.grid_points)
         to_g = jnp.asarray(to_g, x.dtype)
         from_g = jnp.asarray(from_g, x.dtype)
-        g = jnp.einsum("ps,basc->bapc", to_g, x)
-        g = jax.nn.silu(nn.Dense(self.hidden, use_bias=False)(g))
-        g = jax.nn.silu(nn.Dense(self.hidden, use_bias=False)(g))
-        g = nn.Dense(self.out_channels, use_bias=False)(g)
+        g = jnp.einsum("ps,basc->bapc", to_g, x.astype(self.dtype))
+        g = jax.nn.silu(nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(g))
+        g = jax.nn.silu(nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(g))
+        g = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype)(g)
         return jnp.einsum("sp,bapc->basc", from_g, g)
 
 
@@ -134,9 +137,11 @@ class SO2GraphAttention(nn.Module):
     grid_points: int
     deterministic: bool = True
     alpha_drop: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, nl: graph.NeighborList, d_rot, d_rot_inv, x_edge):
+        x = x.astype(self.dtype)
         L, M = self.l_max, self.m_max
         h, va, vc = self.num_heads, self.attn_alpha_channels, self.attn_value_channels
 
@@ -147,7 +152,7 @@ class SO2GraphAttention(nn.Module):
         c2 = msg.shape[-1]
 
         # per-(l,channel) radial scaling shared over m (use_m_share_rad)
-        rad = nn.Dense((L + 1) * c2, name="rad_func")(x_edge)
+        rad = nn.Dense((L + 1) * c2, dtype=self.dtype, name="rad_func")(x_edge.astype(self.dtype))
         rad = rad.reshape(*rad.shape[:-1], L + 1, c2)
         scale = jnp.concatenate(
             [jnp.repeat(rad[..., l : l + 1, :], 2 * l + 1, axis=-2) for l in range(L + 1)],
@@ -165,7 +170,8 @@ class SO2GraphAttention(nn.Module):
             )
 
         hidden, extra = SO2ConvEq(
-            L, M, h * vc, extra_m0_channels=h * va + h * vc, name="so2_conv_1"
+            L, M, h * vc, extra_m0_channels=h * va + h * vc, dtype=self.dtype,
+            name="so2_conv_1"
         )(x_rot, x_edge)
         alpha_scal = extra[..., : h * va]
         gate_scal = extra[..., h * va :]
@@ -188,10 +194,10 @@ class SO2GraphAttention(nn.Module):
         parts[0] = jax.nn.silu(gate_scal)[..., None, :]
         hidden = parts
 
-        values, _ = SO2ConvEq(L, M, h * vc, name="so2_conv_2")(hidden, x_edge)
+        values, _ = SO2ConvEq(L, M, h * vc, dtype=self.dtype, name="so2_conv_2")(hidden, x_edge)
 
         # attention weights from invariant alpha scalars
-        a = alpha_scal.reshape(*alpha_scal.shape[:-1], h, va)
+        a = alpha_scal.reshape(*alpha_scal.shape[:-1], h, va).astype(jnp.float32)
         a = nn.LayerNorm(name="alpha_norm")(a)
         a = jax.nn.silu(a)
         alpha_dot = self.param("alpha_dot", nn.initializers.normal(1.0), (h, va))
@@ -199,7 +205,7 @@ class SO2GraphAttention(nn.Module):
         neg = jnp.asarray(-1e9, logits.dtype)
         logits = jnp.where(nl.mask[..., None], logits, neg)
         alpha = jax.nn.softmax(logits, axis=2)  # softmax over neighbors K
-        alpha = jnp.where(nl.mask[..., None], alpha, 0.0)
+        alpha = jnp.where(nl.mask[..., None], alpha, 0.0).astype(self.dtype)
         alpha = nn.Dropout(self.alpha_drop, deterministic=self.deterministic)(alpha)
 
         # weight messages, rotate back, aggregate
@@ -218,7 +224,8 @@ class SO2GraphAttention(nn.Module):
         proj = []
         for l in range(L + 1):
             sl = agg[..., l * l : (l + 1) * (l + 1), :]
-            proj.append(nn.Dense(self.out_channels, use_bias=(l == 0), name=f"proj_l{l}")(sl))
+            proj.append(nn.Dense(self.out_channels, use_bias=(l == 0),
+                                 dtype=self.dtype, name=f"proj_l{l}")(sl))
         return jnp.concatenate(proj, axis=-2)
 
 
@@ -234,6 +241,7 @@ class TransBlockV2(nn.Module):
     grid_points: int
     deterministic: bool = True
     drop_path: float = 0.05
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, nl, d_rot, d_rot_inv, x_edge):
@@ -243,18 +251,18 @@ class TransBlockV2(nn.Module):
             self.l_max, self.m_max, self.sphere_channels, self.num_heads,
             self.attn_alpha_channels, self.attn_value_channels,
             self.sphere_channels, self.edge_channels, self.grid_points,
-            self.deterministic, name="ga",
+            self.deterministic, dtype=self.dtype, name="ga",
         )(h, nl, d_rot, d_rot_inv, x_edge)
         if not self.deterministic and self.drop_path > 0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - self.drop_path, (x.shape[0], 1, 1, 1)
             )
             h = h * keep / (1.0 - self.drop_path)
-        x = res + h
+        x = (res + h).astype(res.dtype)
         res = x
         h = EquivariantLayerNorm(self.l_max, name="norm_2")(x)
         h = GridFFN(self.l_max, self.ffn_hidden, self.sphere_channels,
-                    self.grid_points, name="ffn")(h)
+                    self.grid_points, dtype=self.dtype, name="ffn")(h)
         if not self.deterministic and self.drop_path > 0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - self.drop_path, (x.shape[0], 1, 1, 1)
@@ -286,6 +294,7 @@ class EquiformerV2(nn.Module):
     grid_points_factor: int = 4
     deterministic: bool = True
     remat: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = False  # equivariant direct force head
 
@@ -295,8 +304,9 @@ class EquiformerV2(nn.Module):
         S = (L + 1) ** 2
         gp = self.grid_points_factor * S
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
+        cdt = jnp.dtype(self.compute_dtype)
         rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_rot = so3.wigner_d(rot, L)
+        d_rot = [d.astype(cdt) for d in so3.wigner_d(rot, L)]
         d_rot_inv = [jnp.swapaxes(d, -1, -2) for d in d_rot]
 
         # invariant edge features: distance basis + endpoint embeddings
@@ -310,14 +320,14 @@ class EquiformerV2(nn.Module):
             [nn.Dense(self.edge_channels, name="dist_proj")(dist_basis), src_emb, dst_emb],
             axis=-1,
         )
-        x_edge = jax.nn.silu(x_edge)
+        x_edge = jax.nn.silu(x_edge).astype(cdt)
 
         # node init: l=0 atom embedding + edge-degree embedding
-        emb = nn.Embed(self.num_elements, C, name="sphere_embedding")(batch.z)
+        emb = nn.Embed(self.num_elements, C, dtype=cdt, name="sphere_embedding")(batch.z)
         x = jnp.zeros((*batch.z.shape, S, C), emb.dtype)
         x = x.at[..., 0, :].set(emb)
         # edge-degree: m=0 radial vectors per l, rotated back and averaged
-        deg = nn.Dense((L + 1) * C, name="edge_degree_proj")(x_edge)
+        deg = nn.Dense((L + 1) * C, dtype=cdt, name="edge_degree_proj")(x_edge)
         deg = deg.reshape(*deg.shape[:-1], L + 1, C)
         deg_full = []
         for l in range(L + 1):
@@ -335,10 +345,14 @@ class EquiformerV2(nn.Module):
             x = block_cls(
                 L, self.m_max, C, self.num_heads, self.attn_alpha_channels,
                 self.attn_value_channels, self.ffn_hidden_channels,
-                3 * self.edge_channels, gp, self.deterministic, name=f"block_{i}",
+                3 * self.edge_channels, gp, self.deterministic, dtype=cdt,
+                name=f"block_{i}",
             )(x, nl, d_rot, d_rot_inv, x_edge)
 
-        x = EquivariantLayerNorm(L, name="norm_final")(x)
+        x = EquivariantLayerNorm(L, name="norm_final")(x.astype(jnp.float32))
+        d_rot = [d.astype(jnp.float32) for d in d_rot]
+        d_rot_inv = [d.astype(jnp.float32) for d in d_rot_inv]
+        x_edge = x_edge.astype(jnp.float32)
 
         # energy head: FFN on node features, l=0 output
         e_feat = GridFFN(L, self.ffn_hidden_channels, 1, gp, name="energy_ffn")(x)

@@ -79,6 +79,7 @@ class SO2Conv(nn.Module):
 
     m: int
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_plus, x_minus, x_edge):
@@ -86,12 +87,13 @@ class SO2Conv(nn.Module):
         n_l, c = x_plus.shape[-2], x_plus.shape[-1]
         flat_p = x_plus.reshape(*x_plus.shape[:-2], n_l * c)
         flat_m = x_minus.reshape(*x_minus.shape[:-2], n_l * c)
-        gate = jax.nn.silu(nn.Dense(2 * self.hidden, name="fc_dist")(x_edge))
+        dt = self.dtype
+        gate = jax.nn.silu(nn.Dense(2 * self.hidden, dtype=dt, name="fc_dist")(x_edge))
         g_r, g_i = jnp.split(gate, 2, axis=-1)
-        fc1_r = nn.Dense(self.hidden, use_bias=False, name="fc1_r")
-        fc2_r = nn.Dense(n_l * c, use_bias=False, name="fc2_r")
-        fc1_i = nn.Dense(self.hidden, use_bias=False, name="fc1_i")
-        fc2_i = nn.Dense(n_l * c, use_bias=False, name="fc2_i")
+        fc1_r = nn.Dense(self.hidden, use_bias=False, dtype=dt, name="fc1_r")
+        fc2_r = nn.Dense(n_l * c, use_bias=False, dtype=dt, name="fc2_r")
+        fc1_i = nn.Dense(self.hidden, use_bias=False, dtype=dt, name="fc1_i")
+        fc2_i = nn.Dense(n_l * c, use_bias=False, dtype=dt, name="fc2_i")
         # complex multiply: (R + iI)(p + i q) with feature maps
         r_p, r_m = fc2_r(fc1_r(flat_p) * g_r), fc2_r(fc1_r(flat_m) * g_r)
         i_p, i_m = fc2_i(fc1_i(flat_p) * g_i), fc2_i(fc1_i(flat_m) * g_i)
@@ -106,6 +108,7 @@ class SO2Block(nn.Module):
     l_max: int
     m_max: int
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_l: List[jnp.ndarray], x_edge):
@@ -116,9 +119,9 @@ class SO2Block(nn.Module):
         # m = 0 path
         x0 = jnp.stack([x_l[l][..., centers[l], :] for l in range(L + 1)], axis=-2)
         flat0 = x0.reshape(*x0.shape[:-2], (L + 1) * c)
-        g0 = jax.nn.silu(nn.Dense(self.hidden, name="fc_dist0")(x_edge))
-        h0 = nn.Dense(self.hidden, use_bias=False, name="fc1_m0")(flat0) * g0
-        out0 = nn.Dense((L + 1) * c, use_bias=False, name="fc2_m0")(h0)
+        g0 = jax.nn.silu(nn.Dense(self.hidden, dtype=self.dtype, name="fc_dist0")(x_edge))
+        h0 = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="fc1_m0")(flat0) * g0
+        out0 = nn.Dense((L + 1) * c, use_bias=False, dtype=self.dtype, name="fc2_m0")(h0)
         out0 = out0.reshape(x0.shape)
         # m > 0 paths
         outs = {0: out0}
@@ -126,7 +129,7 @@ class SO2Block(nn.Module):
             ls = list(range(m, L + 1))
             xp = jnp.stack([x_l[l][..., centers[l] + m, :] for l in ls], axis=-2)
             xm = jnp.stack([x_l[l][..., centers[l] - m, :] for l in ls], axis=-2)
-            op, om = SO2Conv(m, self.hidden, name=f"so2_m{m}")(xp, xm, x_edge)
+            op, om = SO2Conv(m, self.hidden, dtype=self.dtype, name=f"so2_m{m}")(xp, xm, x_edge)
             outs[m] = (op, om)
         # reassemble per-l truncated layout
         new_x = []
@@ -151,11 +154,12 @@ class EdgeBlock(nn.Module):
     num_elements: int
     cutoff: float
     num_gaussians: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, dist, z_src, z_dst):
-        x_dist = gaussian_smearing(dist, self.num_gaussians, 0.0, self.cutoff)
-        x_dist = nn.Dense(self.edge_channels, name="fc_dist")(x_dist)
+        x_dist = gaussian_smearing(dist, self.num_gaussians, 0.0, self.cutoff).astype(self.dtype)
+        x_dist = nn.Dense(self.edge_channels, dtype=self.dtype, name="fc_dist")(x_dist)
         init = nn.initializers.uniform(scale=0.002)  # ~U(-.001,.001) parity
 
         def centered(key, shape, dtype):
@@ -165,8 +169,8 @@ class EdgeBlock(nn.Module):
                        embedding_init=centered, name="src_embed")(z_src)
         dst = nn.Embed(self.num_elements, self.edge_channels,
                        embedding_init=centered, name="dst_embed")(z_dst)
-        x = jax.nn.silu(src + dst + x_dist)
-        return jax.nn.silu(nn.Dense(self.edge_channels, name="fc_edge")(x))
+        x = jax.nn.silu(src.astype(self.dtype) + dst.astype(self.dtype) + x_dist)
+        return jax.nn.silu(nn.Dense(self.edge_channels, dtype=self.dtype, name="fc_edge")(x))
 
 
 class ESCNLayer(nn.Module):
@@ -179,6 +183,7 @@ class ESCNLayer(nn.Module):
     cutoff: float
     num_gaussians: int
     grid_points: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, nl: graph.NeighborList, d_rot, d_rot_inv, batch):
@@ -188,7 +193,7 @@ class ESCNLayer(nn.Module):
         z_src = graph.gather_nodes(z[..., None], nl.idx)[..., 0]  # neighbor j
         x_edge = EdgeBlock(
             self.edge_channels, self.num_elements, self.cutoff,
-            self.num_gaussians, name="edge_block",
+            self.num_gaussians, dtype=self.dtype, name="edge_block",
         )(nl.dist, z_src, jnp.broadcast_to(z[:, :, None], z_src.shape))
 
         # gather + rotate + truncate, per l
@@ -205,8 +210,8 @@ class ESCNLayer(nn.Module):
         x_src = rot_trunc(graph.gather_nodes(x, nl.idx))
         x_tgt = rot_trunc(jnp.broadcast_to(x[:, :, None], (*nl.idx.shape, *x.shape[2:])))
 
-        msg_src = SO2Block(L, M, self.hidden, name="so2_source")(x_src, x_edge)
-        msg_tgt = SO2Block(L, M, self.hidden, name="so2_target")(x_tgt, x_edge)
+        msg_src = SO2Block(L, M, self.hidden, dtype=self.dtype, name="so2_source")(x_src, x_edge)
+        msg_tgt = SO2Block(L, M, self.hidden, dtype=self.dtype, name="so2_target")(x_tgt, x_edge)
         msg = [a + b for a, b in zip(msg_src, msg_tgt)]
 
         # point-wise nonlinearity on the (truncated) sphere grid
@@ -239,9 +244,9 @@ class ESCNLayer(nn.Module):
         g_m = jnp.einsum("ps,basc->bapc", to_gf, x_message)
         g_x = jnp.einsum("ps,basc->bapc", to_gf, x)
         g = jnp.concatenate([g_x, g_m], axis=-1)
-        g = jax.nn.silu(nn.Dense(C, use_bias=False, name="fc1_sphere")(g))
-        g = jax.nn.silu(nn.Dense(C, use_bias=False, name="fc2_sphere")(g))
-        g = nn.Dense(C, use_bias=False, name="fc3_sphere")(g)
+        g = jax.nn.silu(nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc1_sphere")(g))
+        g = jax.nn.silu(nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc2_sphere")(g))
+        g = nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc3_sphere")(g)
         return jnp.einsum("sp,bapc->basc", from_gf, g)
 
 
@@ -262,6 +267,7 @@ class ESCN(nn.Module):
     distance_resolution: float = 0.02
     grid_points_factor: int = 2
     remat: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
 
     derivative_forces = False  # sphere-sampled direct force head
 
@@ -271,13 +277,14 @@ class ESCN(nn.Module):
         S = (L + 1) ** 2
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
 
+        cdt = jnp.dtype(self.compute_dtype)
         # per-edge Wigner rotations aligning edge (j -> i direction) with ẑ
         rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_rot = so3.wigner_d(rot, L)
+        d_rot = [d.astype(cdt) for d in so3.wigner_d(rot, L)]
         d_rot_inv = [jnp.swapaxes(d, -1, -2) for d in d_rot]
 
         # node features: l=0 component = atom embedding
-        emb = nn.Embed(self.num_elements, C, name="sphere_embedding")(batch.z)
+        emb = nn.Embed(self.num_elements, C, dtype=cdt, name="sphere_embedding")(batch.z)
         x = jnp.zeros((*batch.z.shape, S, C), emb.dtype)
         x = x.at[..., 0, :].set(emb)
 
@@ -287,12 +294,13 @@ class ESCN(nn.Module):
             out = layer_cls(
                 L, self.m_max, C, self.hidden, self.edge_channels,
                 self.num_elements, self.cutoff, num_gauss,
-                self.grid_points_factor * S, name=f"layer_{i}",
+                self.grid_points_factor * S, dtype=cdt, name=f"layer_{i}",
             )(x, nl, d_rot, d_rot_inv, batch)
             x = out if i == 0 else x + out
 
         # sphere-sampled heads (reference escn.py:935-1005)
         pts = _fibonacci_sphere(self.num_sphere_samples)
+        x = x.astype(jnp.float32)
         y_pts = jnp.asarray(
             _sh_on_points(L, self.num_sphere_samples), x.dtype
         )  # [P,S]
