@@ -91,15 +91,26 @@ def make_ham_batch(rng, B=4, A=62, O=640):
     )
 
 
+def _step_flops(trainer, state, batch):
+    """XLA cost analysis of one train step; the fused Pallas kernels carry
+    analytic pl.CostEstimate flops, so custom calls are included."""
+    from nabladft_tpu.train.profiling import compiled_flops
+
+    return compiled_flops(trainer._jit_train_step, state, batch)
+
+
 def bench_qhnet() -> None:
     """QHNet Hamiltonian training step at the production orbital bucket
-    (block-space loss — the full-matrix assembly path needs 91 GB)."""
+    (block-space loss; fused Pallas tensor-product kernels; remat off —
+    the kernels' custom VJPs make stored residuals cheap enough that
+    recomputation only costs time)."""
     from nabladft_tpu.models import create_model
     from nabladft_tpu.train import Trainer, TrainerConfig
+    from nabladft_tpu.train.profiling import measured_peak_flops
 
     n_chips = len(jax.devices())
     batch = make_ham_batch(np.random.default_rng(0))
-    model = create_model("qhnet", assemble_matrix=False)
+    model = create_model("qhnet", assemble_matrix=False, remat=False)
     cfg = TrainerConfig(
         schedule="constant", lr=1e-3, log_every_n_steps=10**9, ema_decay=0.99,
         loss_specs={"hamiltonian": "rmse_mae"}, loss_coefs={"hamiltonian": 1.0},
@@ -107,6 +118,7 @@ def bench_qhnet() -> None:
     trainer = Trainer(model, cfg)
     trainer.init_state(batch)
     state = trainer.state
+    flops = _step_flops(trainer, state, batch)
     for _ in range(3):
         state, metrics = trainer._jit_train_step(state, batch)
     float(metrics["train/total"])
@@ -118,12 +130,17 @@ def bench_qhnet() -> None:
     dt = time.perf_counter() - t0
     b = batch.z.shape[0]
     per_chip = b * n / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "qhnet_train_conformers_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "conformers/s/chip",
         "vs_baseline": round(per_chip / A100_QHNET_CONFORMERS_PER_SEC, 3),
-    }))
+        "step_ms": round(dt / n * 1e3, 1),
+    }
+    if flops:
+        peak = measured_peak_flops("float32")  # fp32 model
+        out["mfu_vs_measured_fp32_peak"] = round(flops / (dt / n) / peak, 4)
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -159,16 +176,20 @@ def main() -> None:
 
     conf_per_sec = BATCH * STEPS / dt
     per_chip = conf_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "painn_train_conformers_per_sec_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "conformers/s/chip",
-                "vs_baseline": round(per_chip / A100_REFERENCE_CONFORMERS_PER_SEC, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "painn_train_conformers_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "conformers/s/chip",
+        "vs_baseline": round(per_chip / A100_REFERENCE_CONFORMERS_PER_SEC, 3),
+        "step_ms": round(dt / STEPS * 1e3, 1),
+    }
+    flops = _step_flops(trainer, state, batch)
+    if flops:
+        from nabladft_tpu.train.profiling import measured_peak_flops
+
+        peak = measured_peak_flops("bfloat16")
+        out["mfu_vs_measured_bf16_peak"] = round(flops / (dt / STEPS) / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

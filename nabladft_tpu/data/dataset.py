@@ -441,7 +441,13 @@ class LoaderConfig:
     shuffle: bool = True
     seed: int = 0
     drop_last: bool = False
-    prefetch: int = 2  # batches queued ahead on the background thread
+    prefetch: int = 2  # batches queued ahead of the consumer
+    # collation worker threads (the analog of the reference DataLoader's
+    # num_workers, nablaDFT_dataset.py:256-267). Collation is numpy/C-bound
+    # (fastpack releases the GIL), so threads scale it without the process
+    # overhead of torch-style worker forks. Batch ORDER is deterministic
+    # and identical for any worker count.
+    num_workers: int = 1
 
 
 class BucketedLoader:
@@ -501,9 +507,28 @@ class BucketedLoader:
             self.dataset.records, chunk, self.config.batch_size, max_atoms
         )
 
+    def _iter_pool(self, plan, n_workers: int) -> Iterator[MolBatch]:
+        """Ordered multi-worker collation: the pool races ahead by
+        prefetch + n_workers batches; results yield in plan order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = max(1, self.config.prefetch) + n_workers
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            pending: "deque" = deque()
+            for item in plan:
+                pending.append(ex.submit(self._collate, *item))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
     def __iter__(self) -> Iterator[MolBatch]:
         plan = self._epoch_plan()
         self._epoch += 1
+        if self.config.num_workers > 1:
+            yield from self._iter_pool(plan, self.config.num_workers)
+            return
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.config.prefetch))
         stop = threading.Event()
 
@@ -542,11 +567,13 @@ class DataModule:
         val_fraction: float = 0.1,
         seed: int = 42,
         test_dataset=None,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.test_dataset = test_dataset
         self.batch_size = batch_size
         self.seed = seed
+        self.num_workers = num_workers
         if val_fraction > 0:
             self.train_idx, self.val_idx = seeded_random_split(
                 len(dataset), [1.0 - val_fraction, val_fraction], seed
@@ -557,13 +584,15 @@ class DataModule:
     def train_dataloader(self) -> BucketedLoader:
         return BucketedLoader(
             self.dataset, self.train_idx,
-            LoaderConfig(batch_size=self.batch_size, shuffle=True, seed=self.seed),
+            LoaderConfig(batch_size=self.batch_size, shuffle=True, seed=self.seed,
+                         num_workers=self.num_workers),
         )
 
     def val_dataloader(self) -> BucketedLoader:
         return BucketedLoader(
             self.dataset, self.val_idx,
-            LoaderConfig(batch_size=self.batch_size, shuffle=False),
+            LoaderConfig(batch_size=self.batch_size, shuffle=False,
+                         num_workers=self.num_workers),
         )
 
     def test_dataloader(self) -> BucketedLoader:

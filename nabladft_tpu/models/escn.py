@@ -59,10 +59,35 @@ def _sh_on_points(l_max: int, n_points: int) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _grid_mats(l_max: int, n_points: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(to_grid [P,S], from_grid [S,P]): pseudo-inverse pair, exact for
-    bandlimited functions when P ≳ 2S (replaces SO3_Grid, escn/so3.py:424)."""
-    y = _sh_on_points(l_max, n_points)
-    return y, np.linalg.pinv(y)
+    """(to_grid [P,S], from_grid [S,P]) on a Gauss-Legendre × uniform-φ grid.
+
+    Equiangular-style quadrature like the reference SO3_Grid
+    (equiformer_v2/so3.py:462 via e3nn ToS2Grid/FromS2Grid), but with
+    Gauss-Legendre latitudes so the analysis integral is *exact* for
+    band-limited products: with n_θ ≥ L+1 and n_φ ≥ 2L+1,
+    from_grid @ to_grid = I_S to float64 round-off (the round-1
+    Fibonacci-pinv variant carried ~1e-3 equivariance error).
+    `n_points` is a point budget: n_θ = max(L+1, round(sqrt(n_points/2))),
+    n_φ = 2 n_θ - 1, so the models' grid_points_factor knobs keep their
+    cost semantics.
+    """
+    n_theta = max(l_max + 1, int(round((n_points / 2.0) ** 0.5)))
+    n_phi = 2 * n_theta - 1
+    ct, wt = np.polynomial.legendre.leggauss(n_theta)  # nodes in cos θ
+    phi = 2 * np.pi * np.arange(n_phi) / n_phi
+    st = np.sqrt(1.0 - ct**2)
+    pts = np.stack(
+        [
+            np.outer(st, np.cos(phi)).ravel(),
+            np.outer(st, np.sin(phi)).ravel(),
+            np.outer(ct, np.ones(n_phi)).ravel(),
+        ],
+        axis=-1,
+    )  # [n_θ·n_φ, 3]
+    y = so3.real_sph_harm_np(pts, l_max)  # orthonormal convention
+    w = (np.outer(wt, np.ones(n_phi)) * (2 * np.pi / n_phi)).ravel()
+    from_grid = (y * w[:, None]).T  # quadrature analysis: ∫ f Y dΩ
+    return y.astype(np.float32), from_grid.astype(np.float32)
 
 
 def _trunc_sizes(l_max: int, m_max: int) -> List[int]:

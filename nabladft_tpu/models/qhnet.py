@@ -28,7 +28,7 @@ nablaDFT's def2-SVP elements).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ from flax import linen as nn
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import MLP, ModelOutput, register_model, shifted_softplus
 from nabladft_tpu.ops import graph, so3
+from nabladft_tpu.ops.pallas import qhnet_tp
 from nabladft_tpu.ops.radial import ExpBernsteinRBF
 
 # def2-SVP contracted shells per element (l of each shell), nablaDFT's basis
@@ -208,19 +209,87 @@ def self_tensor_product(
 
 
 # ---------------------------------------------------------------------------
+# Fused-kernel plumbing
+# ---------------------------------------------------------------------------
+
+
+class _DenseParams(nn.Module):
+    """Raw Dense parameters (kernel/bias) with nn.Dense-identical init,
+    exposed as arrays instead of being applied — feeds the fused kernels."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class GateMLPSplit(nn.Module):
+    """Param-tree-compatible stand-in for MLP([hidden, out]).
+
+    Returns (post-activation hidden, second-Dense kernel, second-Dense
+    bias) so callers can either finish the MLP in XLA (h @ W2 + b2) or
+    hand the pieces to a fused Pallas kernel. Parameter names/init match
+    MLP's Dense_0/Dense_1 exactly — checkpoints are interchangeable.
+    """
+
+    hidden: int
+    out: int
+    activation: Callable = jax.nn.silu
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.activation(nn.Dense(self.hidden, name="Dense_0")(x))
+        w2, b2 = _DenseParams(self.out, self.hidden, name="Dense_1")()
+        return h, w2, b2
+
+
+def _pad_atoms(x: jnp.ndarray, axes: Sequence[int], a_pad: int) -> jnp.ndarray:
+    pads = [(0, 0)] * x.ndim
+    for ax in axes:
+        pads[ax] = (0, a_pad - x.shape[ax])
+    return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
+
+
+def _flat_to_list(flat: jnp.ndarray, lmax: int) -> List[jnp.ndarray]:
+    """[..., (L+1)², C]-style flat SH axis at -2 → per-l [..., C, 2l+1]."""
+    return [
+        jnp.swapaxes(flat[..., l * l : (l + 1) * (l + 1), :], -1, -2)
+        for l in range(lmax + 1)
+    ]
+
+
+def _list_to_flat(xs: List[jnp.ndarray]) -> jnp.ndarray:
+    """Per-l [..., C, 2l+1] → flat [..., (L+1)², C] (SH axis before C)."""
+    return jnp.concatenate([jnp.swapaxes(x, -1, -2) for x in xs], axis=-2)
+
+
+# ---------------------------------------------------------------------------
 # Layers
 # ---------------------------------------------------------------------------
 
 
 class ConvNetLayer(nn.Module):
-    """Radius-graph equivariant convolution (reference layers.py:150-344)."""
+    """Radius-graph equivariant convolution (reference layers.py:150-344).
+
+    With ``use_pallas`` the gate-MLP second layer, the 65-path CG tensor
+    product, and the neighbor reduction run in one fused kernel
+    (ops/pallas/qhnet_tp.conv_tp); ``cgsh`` is the shared
+    sh_adj @ cgsh_matrix() table computed once per forward.
+    """
 
     channels: int
     rbf_dim: int
     use_norm_gate: bool = True
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, xs, sh, rbf, adj):
+    def __call__(self, xs, sh, rbf, adj, cgsh=None):
         # xs[l]: [B,A,C,2l+1]; sh[l2]: [B,A,A,2l2+1]; rbf: [B,A,A,R]; adj [B,A,A]
         c = self.channels
         n_paths = len(_tp_paths(LMAX, LMAX, LMAX))
@@ -244,16 +313,36 @@ class ConvNetLayer(nn.Module):
             ],
             axis=-1,
         )
-        w = MLP([32, n_paths * c], activation=shifted_softplus, name="fc_rbf")(rbf)
-        w = w * MLP([32, n_paths * c], activation=shifted_softplus, name="fc_s0")(s0)
-        w = w.reshape(*w.shape[:-1], n_paths, c)
-        w = jnp.where(adj[..., None, None], w, 0.0)
-        x_j = [
-            jnp.broadcast_to(x[:, None], (x.shape[0], x.shape[1], *x.shape[1:]))
-            for x in gated
-        ]
-        msgs = weighted_tensor_product(x_j, sh, w, LMAX)  # [B,A,A,C,2l3+1]
-        agg = [m.sum(axis=2) for m in msgs]
+        h_r, w2r, b2r = GateMLPSplit(
+            32, n_paths * c, activation=shifted_softplus, name="fc_rbf"
+        )(rbf)
+        h_s, w2s, b2s = GateMLPSplit(
+            32, n_paths * c, activation=shifted_softplus, name="fc_s0"
+        )(s0)
+        if self.use_pallas:
+            a_pad = max(8, -(-a // 8) * 8)
+            x_flat = _list_to_flat(gated)  # [B, A, S, C]
+            x_lat = _pad_atoms(jnp.swapaxes(x_flat, 1, 2), (2,), a_pad)  # [B,S,A,C]
+            out_k = qhnet_tp.conv_tp(
+                x_lat.astype(jnp.float32),
+                _pad_atoms(cgsh, (1, 2), a_pad),
+                _pad_atoms(h_r.astype(jnp.float32), (1, 2), a_pad),
+                _pad_atoms(h_s.astype(jnp.float32), (1, 2), a_pad),
+                w2r, b2r, w2s, b2s,
+                LMAX, jax.default_backend() == "cpu",
+            )[:, :a]  # [B, A, S, C]
+            agg = _flat_to_list(out_k, LMAX)
+        else:
+            w = jnp.einsum("...h,hk->...k", h_r, w2r) + b2r
+            w = w * (jnp.einsum("...h,hk->...k", h_s, w2s) + b2s)
+            w = w.reshape(*w.shape[:-1], n_paths, c)
+            w = jnp.where(adj[..., None, None], w, 0.0)
+            x_j = [
+                jnp.broadcast_to(x[:, None], (x.shape[0], x.shape[1], *x.shape[1:]))
+                for x in gated
+            ]
+            msgs = weighted_tensor_product(x_j, sh, w, LMAX)  # [B,A,A,C,2l3+1]
+            agg = [m.sum(axis=2) for m in msgs]
         out = [a_ + g for a_, g in zip(agg, gated)]  # resnet (reference :270)
         return IrrepsLinear(c, name="linear_out")(out)
 
@@ -282,10 +371,16 @@ class SelfNetLayer(nn.Module):
 
 class PairNetLayer(nn.Module):
     """Pairwise tensor product -> off-diagonal block features
-    (reference layers.py:346-494)."""
+    (reference layers.py:346-494).
+
+    With ``use_pallas`` the gate production and node_i (x) node_j tensor
+    product run fused (ops/pallas/qhnet_tp.pair_tp); the node_i-side CG
+    contraction is hoisted to a per-node zi = node @ cgz_matrix().
+    """
 
     channels: int
     rbf_dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, xs, rbf_full, full_mask, old_fij):
@@ -304,16 +399,44 @@ class PairNetLayer(nn.Module):
         )
         node = IrrepsLinear(c, name="lin_n")(NormGate(name="ng_pre")(xs))
         n_paths = len(_tp_paths(LMAX, LMAX, LMAX))
-        w = MLP([8, n_paths * c], activation=shifted_softplus, name="fc_rbf")(rbf_full)
-        w = w * MLP([c, n_paths * c], name="fc_s0")(s0)
-        w = w.reshape(*w.shape[:-1], n_paths, c)
-        w = jnp.where(full_mask[..., None, None], w, 0.0)
-        pair = self_tensor_product(
-            [x[:, :, None] for x in node],
-            [x[:, None, :] for x in node],
-            LMAX,
-            [w[..., p, :] for p in range(n_paths)],
-        )  # [B,A,A,C,2l+1]
+        h_r, w2r, b2r = GateMLPSplit(
+            8, n_paths * c, activation=shifted_softplus, name="fc_rbf"
+        )(rbf_full)
+        h_s, w2s, b2s = GateMLPSplit(c, n_paths * c, name="fc_s0")(s0)
+        if self.use_pallas:
+            b, a = full_mask.shape[0], full_mask.shape[1]
+            a_pad = max(8, -(-a // 8) * 8)
+            node_flat = _list_to_flat(node).astype(jnp.float32)  # [B, A, S, C]
+            cgz = jnp.asarray(qhnet_tp.cgz_matrix(LMAX))
+            zi = jnp.einsum("basc,sk->bakc", node_flat, cgz)  # [B, A, Kz, C]
+            x_lat = _pad_atoms(jnp.swapaxes(node_flat, 1, 2), (2,), a_pad)
+            maskf = full_mask.astype(jnp.float32)[..., None]  # [B, A, A, 1]
+            fij_raw = qhnet_tp.pair_tp(
+                x_lat,
+                _pad_atoms(zi, (1,), a_pad),
+                _pad_atoms(maskf, (1, 2), a_pad),
+                _pad_atoms(h_r.astype(jnp.float32), (1, 2), a_pad),
+                _pad_atoms(h_s.astype(jnp.float32), (1, 2), a_pad),
+                w2r, b2r, w2s, b2s,
+                LMAX, jax.default_backend() == "cpu",
+            )[:, :a, :, :a]  # [B, A, S, A, C]
+            pair = [
+                jnp.transpose(
+                    fij_raw[:, :, l * l : (l + 1) * (l + 1)], (0, 1, 3, 4, 2)
+                )
+                for l in range(LMAX + 1)
+            ]  # [B,A,A,C,2l+1]
+        else:
+            w = jnp.einsum("...h,hk->...k", h_r, w2r) + b2r
+            w = w * (jnp.einsum("...h,hk->...k", h_s, w2s) + b2s)
+            w = w.reshape(*w.shape[:-1], n_paths, c)
+            w = jnp.where(full_mask[..., None, None], w, 0.0)
+            pair = self_tensor_product(
+                [x[:, :, None] for x in node],
+                [x[:, None, :] for x in node],
+                LMAX,
+                [w[..., p, :] for p in range(n_paths)],
+            )  # [B,A,A,C,2l+1]
         pair = NormGate(name="ng_post")(pair)
         out = IrrepsLinear(c, name="lin_out")(pair)
         if old_fij is not None:
@@ -397,6 +520,19 @@ class QHNet(nn.Module):
     start_layer: int = 2
     orbitals: Optional[Dict[int, Tuple[int, ...]]] = None
     remat: bool = True
+    # fused Pallas tensor-product kernels for the Conv/Pair layers (the
+    # XLA formulation is bandwidth-bound: ~650 GB HBM traffic/step at the
+    # production bucket; the kernels cut the step 825 -> ~500 ms). "auto"
+    # = on for TPU, einsum path on CPU (interpret-mode compile of the
+    # unrolled 65-path kernels is far too slow for CPU test runs; numerics
+    # parity is pinned by tests/ops/test_qhnet_tp.py). True forces the
+    # kernels (interpret mode on CPU), False forces the einsum path.
+    use_pallas: Union[bool, str] = "auto"
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(self.use_pallas)
     # assemble the dense [B,O,O] matrix (eval/predict) or return the
     # block-space "super matrix" [B,A*R,A*R] (training): assembling via the
     # one-hot einsum costs O(B*A*A*R*O) intermediates — 91 GB at the
@@ -433,15 +569,27 @@ class QHNet(nn.Module):
 
         conv_cls = nn.remat(ConvNetLayer) if self.remat else ConvNetLayer
         pair_cls = nn.remat(PairNetLayer) if self.remat else PairNetLayer
+        use_pallas = self._pallas_enabled()
+        cgsh = None
+        if use_pallas:
+            # shared (layer-independent) CG ⊗ sh table, adjacency premasked;
+            # positions are never differentiated in Hamiltonian training
+            sh_adj = jnp.where(dg.adj[..., None], sh_flat, 0.0).astype(jnp.float32)
+            cgsh = jax.lax.stop_gradient(
+                sh_adj @ jnp.asarray(qhnet_tp.cgsh_matrix(LMAX))
+            )  # [B, A, A, K]
         fii = None
         fij = None
         for i in range(self.num_layers):
-            xs = conv_cls(c, self.rbf_dim, use_norm_gate=(i != 0), name=f"conv_{i}")(
-                xs, sh, rbf, dg.adj
-            )
+            xs = conv_cls(
+                c, self.rbf_dim, use_norm_gate=(i != 0),
+                use_pallas=use_pallas, name=f"conv_{i}",
+            )(xs, sh, rbf, dg.adj, cgsh)
             if i > self.start_layer:
                 fii = SelfNetLayer(c, name=f"self_{i}")(xs, fii)
-                fij = pair_cls(c, self.rbf_dim, name=f"pair_{i}")(xs, rbf, full_mask, fij)
+                fij = pair_cls(
+                    c, self.rbf_dim, use_pallas=use_pallas, name=f"pair_{i}"
+                )(xs, rbf, full_mask, fij)
 
         fii = IrrepsLinear(cb, name="output_ii")(fii)
         fij = IrrepsLinear(cb, name="output_ij")(fij)
@@ -506,7 +654,11 @@ class QHNet(nn.Module):
                 "block_valid": v,
             }
         h = jnp.einsum("biro,birs,bisq->boq", p, diag, p)
-        # off-diagonal: mask out i==j (diag handled above)
-        h = h + jnp.einsum("biro,bijrs,bjsq->boq", p, off, p)
+        # off-diagonal: mask out i==j (diag handled above). Forced two-step
+        # contraction: collapsing j first keeps the largest intermediate at
+        # [B, A, R, O] (~tens of MB) instead of letting XLA materialize a
+        # [B, A, A, R, O] tensor (the round-2 "22 GB at B=8" wall).
+        m_right = jnp.einsum("bijrs,bjsq->birq", off, p)  # [B, A, R, O]
+        h = h + jnp.einsum("biro,birq->boq", p, m_right)
         h = h + jnp.swapaxes(h, -1, -2)  # symmetrize (reference qhnet.py:236)
         return {"hamiltonian": h}

@@ -83,6 +83,30 @@ def _e1(x):
 
 
 # ---------------------------------------------------------------------------
+# Analytic FLOP model (XLA cost analysis reports 0 for custom calls; these
+# feed pl.CostEstimate and the benchmark's hand-computed MFU).
+# ---------------------------------------------------------------------------
+
+
+def kernel_flops(kind: str, b: int, a: int, r: int, f: int) -> int:
+    """Approximate FLOPs of one kernel invocation over the whole grid.
+
+    Matmul terms are exact; elementwise terms are counted from the kernel
+    bodies (+/- a few percent).
+    """
+    mm = 2 * a * a * r * f          # one [A*A, R] @ [R, F] matmul
+    el = a * a * f                  # one [A, A, F] elementwise op
+    ud = 2 * a * a * 3 * f          # one [A,3,A] x [A,?,F] u-contraction
+    per_mol = {
+        "fwd":      3 * mm + 1 * ud + 26 * el,
+        "bwd":      9 * mm + 3 * ud + 60 * el,
+        "dual_fwd": 6 * mm + 3 * ud + 50 * el,
+        "dual_bwd": 24 * mm + 4 * ud + 120 * el,
+    }[kind]
+    return int(b * per_mol)
+
+
+# ---------------------------------------------------------------------------
 # kernel A: forward
 # ---------------------------------------------------------------------------
 
@@ -137,6 +161,10 @@ def _run_fwd(rbf, phi, v, unit_t, w, *, bm, interpret):
             jax.ShapeDtypeStruct((b, a, f), rbf.dtype),
             jax.ShapeDtypeStruct((b, a, f3), rbf.dtype),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=kernel_flops("fwd", b, a, w.shape[0], f),
+            bytes_accessed=0, transcendentals=0,
+        ),
         interpret=interpret,
     )(rbf, phi, v, unit_t, w)
 
@@ -242,6 +270,10 @@ def _run_bwd(rbf, rbfp, phi, v, unit_t, w, gds, gdv, *, bm, interpret):
             jax.ShapeDtypeStruct((b, a, f3), F32),
             jax.ShapeDtypeStruct((r, f3), F32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=kernel_flops("bwd", b, a, w.shape[0], f),
+            bytes_accessed=0, transcendentals=0,
+        ),
         interpret=interpret,
     )(rbf, rbfp, phi, v, unit_t, w, gds, gdv)
 
@@ -324,6 +356,10 @@ def _run_dual_fwd(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w, *, bm, interp
             jax.ShapeDtypeStruct((b, a, f), rbf.dtype),
             jax.ShapeDtypeStruct((b, a, f3), rbf.dtype),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=kernel_flops("dual_fwd", b, a, w.shape[0], f),
+            bytes_accessed=0, transcendentals=0,
+        ),
         interpret=interpret,
     )(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w)
 
@@ -447,6 +483,10 @@ def _run_dual_bwd(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w,
             jax.ShapeDtypeStruct((b, a, f3), F32),
             jax.ShapeDtypeStruct((r, f3), F32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=kernel_flops("dual_bwd", b, a, w.shape[0], f),
+            bytes_accessed=0, transcendentals=0,
+        ),
         interpret=interpret,
     )(rbf, rbfd, phi, phid, v, vd, unit_t, unitd_t, w, gds, gdv, gdsd, gdvd)
 

@@ -87,6 +87,7 @@ def build_datamodule(cfg: Dict[str, Any]) -> DataModule:
         batch_size=d.get("batch_size", 32),
         val_fraction=d.get("val_fraction", 0.1),
         seed=cfg.get("seed", 42),
+        num_workers=d.get("num_workers", 1),
     )
 
 

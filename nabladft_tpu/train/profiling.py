@@ -65,6 +65,29 @@ def mfu(flops_per_step: float, step_time_s: float, n_devices: int = 1,
     return flops_per_step / step_time_s / (peak * n_devices)
 
 
+def measured_peak_flops(dtype="bfloat16", n: int = 8192, iters: int = 8) -> float:
+    """Empirical dense-matmul throughput of the attached device (FLOP/s).
+
+    Tunneled/virtualized devices (axon) can expose a fraction of a physical
+    chip, so nominal PEAK_FLOPS tables overstate the achievable ceiling;
+    MFU against this measured number is the honest utilization figure.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    x = jnp.ones((n, n), jnp.dtype(dtype))
+    f = jax.jit(lambda a, b: (a @ b)[0, 0])
+    float(f(x, x))  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = f(x, x)
+    float(out)  # host fetch: guarantees completion through tunneled backends
+    dt = (time.perf_counter() - t0) / iters
+    return 2.0 * n**3 / dt
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a TensorBoard-viewable profiler trace of the enclosed block."""

@@ -255,3 +255,21 @@ def test_energy_cache_readonly_dir_fallback(tmp_path, energy_db_path, monkeypatc
     recs = parse_energy_db(ro / "db.db", cache=True)
     assert len(recs) == 100
     assert not (ro / "db.cache").exists()
+
+
+def test_loader_num_workers_deterministic(energy_db_path):
+    """Multi-worker collation yields the SAME batches in the SAME order as
+    the single-thread path (the pool only parallelizes collation)."""
+    ds = EnergyDataset(str(energy_db_path))
+    mk = lambda nw: BucketedLoader(
+        ds, config=LoaderConfig(batch_size=16, shuffle=True, seed=3, num_workers=nw)
+    )
+    ref = list(mk(1))
+    par = list(mk(4))
+    assert len(ref) == len(par) > 0
+    for b1, b2 in zip(ref, par):
+        np.testing.assert_array_equal(np.asarray(b1.z), np.asarray(b2.z))
+        np.testing.assert_array_equal(np.asarray(b1.pos), np.asarray(b2.pos))
+        np.testing.assert_array_equal(
+            np.asarray(b1.graph_mask), np.asarray(b2.graph_mask)
+        )
