@@ -33,15 +33,70 @@ A100_REFERENCE_CONFORMERS_PER_SEC = 800.0
 # measurement (no A100 here).
 A100_QHNET_CONFORMERS_PER_SEC = 2.5
 
+# Reference-capacity configs for the wider zoo (mirroring configs/model/*;
+# bf16 compute, direct force heads where the reference uses them). A100
+# anchors are estimates with the same provenance caveat as PaiNN's: derived
+# from public OC20-class throughput reports for each architecture at ~40-atom
+# molecules, fp32 + torch_geometric scatter kernels. No A100 exists here.
+ZOO_BENCH = {
+    "escn": dict(
+        batch=32,
+        anchor=60.0,  # 8 layers, L=6/m=2 SO(2) convs — OC20-class eSCN speed
+        kwargs=dict(
+            num_layers=8, l_max=6, m_max=2, sphere_channels=128, hidden=256,
+            edge_channels=128, cutoff=8.0, max_neighbors=40,
+            num_sphere_samples=128, compute_dtype="bfloat16",
+        ),
+    ),
+    "equiformer_v2": dict(
+        batch=32,
+        anchor=40.0,  # 12 blocks of SO(2) attention + S2 FFN
+        kwargs=dict(
+            num_layers=12, sphere_channels=128, attn_alpha_channels=64,
+            num_heads=8, attn_value_channels=16, ffn_hidden_channels=128,
+            l_max=6, m_max=2, cutoff=12.0, max_neighbors=30,
+            compute_dtype="bfloat16",
+        ),
+    ),
+    "gemnet_oc": dict(
+        batch=64,
+        anchor=120.0,  # 4 blocks, quadruplet interactions
+        kwargs=dict(
+            num_blocks=4, emb_size_atom=256, emb_size_edge=512,
+            num_radial=128, num_spherical=7, cutoff=12.0, max_neighbors=30,
+            max_neighbors_qint=8, compute_dtype="bfloat16",
+        ),
+    ),
+    "schnet": dict(
+        batch=256,
+        anchor=2000.0,  # lightest reference model
+        kwargs=dict(
+            hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
+            max_neighbors=40, compute_dtype="bfloat16",
+        ),
+    ),
+    "dimenetpp": dict(
+        batch=128,
+        anchor=250.0,  # triplet message passing
+        kwargs=dict(compute_dtype="bfloat16"),
+    ),
+    "graphormer3d": dict(
+        batch=128,
+        anchor=400.0,  # dense attention, direct forces
+        kwargs=dict(compute_dtype="bfloat16"),
+    ),
+}
+
 BATCH = 256
 MAX_ATOMS = 48
 STEPS = 20
 WARMUP = 3
 
 
-def make_batch(rng):
+def make_batch(rng, batch_size: int | None = None):
     from nabladft_tpu.data.batch import MolBatch
 
+    BATCH = batch_size or globals()["BATCH"]
     z = np.zeros((BATCH, MAX_ATOMS), np.int32)
     pos = np.zeros((BATCH, MAX_ATOMS, 3), np.float32)
     node_mask = np.zeros((BATCH, MAX_ATOMS), bool)
@@ -143,6 +198,54 @@ def bench_qhnet() -> None:
     print(json.dumps(out))
 
 
+def bench_zoo(name: str) -> None:
+    """Training-step throughput for the wider zoo at reference capacity.
+
+    Derivative-force models (SchNet/DimeNet++) use the engine's single
+    reverse-pass surrogate gradient path; eSCN/EquiformerV2/GemNet-OC/
+    Graphormer3D train their direct force heads (first-order), matching the
+    reference's training mode for each family.
+    """
+    from nabladft_tpu.models import create_model
+    from nabladft_tpu.train import Trainer, TrainerConfig
+    from nabladft_tpu.train.profiling import measured_peak_flops
+
+    spec = ZOO_BENCH[name]
+    n_chips = len(jax.devices())
+    model = create_model(name, **spec["kwargs"])
+    cfg = TrainerConfig(
+        schedule="constant", lr=1e-4, log_every_n_steps=10**9,
+        loss_specs={"energy": "l1", "forces": "l2norm"},
+        loss_coefs={"energy": 1.0, "forces": 1.0},
+    )
+    trainer = Trainer(model, cfg)
+    batch = make_batch(np.random.default_rng(0), batch_size=spec["batch"])
+    trainer.init_state(batch)
+    state = trainer.state
+    flops = _step_flops(trainer, state, batch)
+    for _ in range(WARMUP):
+        state, metrics = trainer._jit_train_step(state, batch)
+    float(metrics["train/total"])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = trainer._jit_train_step(state, batch)
+    float(metrics["train/total"])
+    dt = time.perf_counter() - t0
+    per_chip = spec["batch"] * n / dt / n_chips
+    out = {
+        "metric": f"{name}_train_conformers_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "conformers/s/chip",
+        "vs_baseline": round(per_chip / spec["anchor"], 3),
+        "step_ms": round(dt / n * 1e3, 1),
+    }
+    if flops:
+        peak = measured_peak_flops("bfloat16")
+        out["mfu_vs_measured_bf16_peak"] = round(flops / (dt / n) / peak, 4)
+    print(json.dumps(out))
+
+
 def main() -> None:
     from nabladft_tpu.models import create_model
     from nabladft_tpu.train import Trainer, TrainerConfig
@@ -194,9 +297,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="painn", choices=["painn", "qhnet"])
+    ap.add_argument(
+        "--model", default="painn", choices=["painn", "qhnet", *ZOO_BENCH],
+    )
     args = ap.parse_args()
     if args.model == "qhnet":
         bench_qhnet()
+    elif args.model in ZOO_BENCH:
+        bench_zoo(args.model)
     else:
         main()

@@ -44,6 +44,31 @@ MODEL_KW = {
     "painn": dict(hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
                   max_neighbors=63, envelope="cosine", use_pallas="fused",
                   compute_dtype="bfloat16", remat=False),
+    # the rest of the energy zoo at reference capacity (configs/model/*)
+    "dimenetpp": dict(),
+    "graphormer3d": dict(),
+    "gemnet_oc": dict(num_blocks=4, emb_size_atom=256, emb_size_edge=512,
+                      num_radial=128, num_spherical=7, cutoff=12.0,
+                      max_neighbors=30, max_neighbors_qint=8),
+    "escn": dict(num_layers=8, l_max=6, m_max=2, sphere_channels=128,
+                 hidden=256, edge_channels=128, cutoff=8.0, max_neighbors=40,
+                 num_sphere_samples=128),
+    "equiformer_v2": dict(num_layers=12, sphere_channels=128,
+                          attn_alpha_channels=64, num_heads=8,
+                          attn_value_channels=16, ffn_hidden_channels=128,
+                          l_max=6, m_max=2, cutoff=12.0, max_neighbors=30),
+}
+
+# README tiny-split rows: [energy MAE Eh, forces MAE Eh/Å]
+# (README.md:224-522; DimeNet++ tiny is published non-converged at 0.43 Eh)
+REFERENCE_TINY_MAE = {
+    "schnet": [1.17e-2, 0.44e-2],
+    "painn": [0.82e-2, 0.37e-2],
+    "dimenetpp": [42.84e-2, 1.31e-2],
+    "graphormer3d": [1.54e-2, 1.11e-2],
+    "gemnet_oc": [2.79e-2, 0.14e-2],
+    "escn": [1.87e-2, 0.10e-2],
+    "equiformer_v2": [2.81e-2, 0.30e-2],
 }
 
 
@@ -113,8 +138,11 @@ def main():
 
     model = create_model(args.model, energy_mean=mean, energy_std=max(std, 1e-6),
                          **MODEL_KW[args.model])
+    lr = {"schnet": 1e-4, "painn": 5e-4, "dimenetpp": 5e-4,
+          "graphormer3d": 3e-4, "gemnet_oc": 2e-4, "escn": 2e-4,
+          "equiformer_v2": 2e-4}[args.model]
     cfg = TrainerConfig(
-        max_epochs=args.max_epochs, lr=1e-4 if args.model == "schnet" else 5e-4,
+        max_epochs=args.max_epochs, lr=lr,
         schedule="plateau", plateau_factor=0.8, plateau_patience=30,
         plateau_min_lr=1e-6, stop_at_lr=2e-6,
         early_stopping_patience=200, log_every_n_steps=200,
@@ -135,8 +163,7 @@ def main():
         "test_energy_mae_eh": test.get("test/energy/mae"),
         "test_forces_mae_eh_per_a": test.get("test/forces/mae"),
         "wall_seconds": round(wall, 1),
-        "reference_tiny_mae": {"schnet": [1.17e-2, 0.44e-2],
-                               "painn": [0.82e-2, 0.37e-2]}[args.model],
+        "reference_tiny_mae": REFERENCE_TINY_MAE[args.model],
     }
     print(json.dumps(result))
     if args.out:

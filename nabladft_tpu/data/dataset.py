@@ -20,6 +20,7 @@ pyg_datasets.py:101-119).
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import queue
 import threading
@@ -82,7 +83,9 @@ def _open_cache(cache_dir: Path) -> EnergyRecords:
     return EnergyRecords(**cols)
 
 
-def parse_energy_db(db_path: Path, cache: bool = True) -> EnergyRecords:
+def parse_energy_db(
+    db_path: Path, cache: bool = True, cache_dir: Optional[Path] = None
+) -> EnergyRecords:
     """Read an ASE energy database into columnar arrays.
 
     Streaming + memory-mapped: the SQLite rows are converted ONCE into a
@@ -94,7 +97,9 @@ def parse_energy_db(db_path: Path, cache: bool = True) -> EnergyRecords:
     collated torch .pt of the whole split in RAM (pyg_datasets.py:101-119).
     """
     db_path = Path(db_path)
-    cache_dir = db_path.with_suffix(".cache")
+    if cache_dir is None:
+        cache_dir = db_path.with_suffix(".cache")
+    cache_dir = Path(cache_dir)
     if (
         cache
         and cache_dir.is_dir()
@@ -260,13 +265,33 @@ class EnergyDataset:
         paths = []
         for src in sources:
             path = Path(src)
+            cache_dir = None
             if not path.exists():
                 sub = Path(root or "datasets") / str(src)
                 sub.mkdir(parents=True, exist_ok=True)
                 path = sub / "raw.db"
                 dataset_registry.download("energy", str(src), path)
+            else:
+                # External source DB (absolute path outside our datasets
+                # root, e.g. a read-only mounted fixture): never write the
+                # .cache next to it — running as root, permission bits would
+                # not stop us. Cache under our own root instead, keyed by
+                # the resolved path so distinct DBs never collide.
+                resolved = path.resolve()
+                datasets_root = Path(root or "datasets").resolve()
+                if not (
+                    resolved.is_relative_to(Path.cwd())
+                    or resolved.is_relative_to(datasets_root)
+                ):
+                    key = hashlib.sha256(str(resolved).encode()).hexdigest()[:12]
+                    cache_dir = (
+                        Path(root or "datasets")
+                        / "cache"
+                        / f"{path.stem}-{key}.cache"
+                    )
+                    cache_dir.parent.mkdir(parents=True, exist_ok=True)
             paths.append(path)
-            parts.append(parse_energy_db(path))
+            parts.append(parse_energy_db(path, cache_dir=cache_dir))
         self.path = paths[0]
         self.paths = paths
         self.records = _concat_records(parts)

@@ -58,7 +58,9 @@ def _sh_on_points(l_max: int, n_points: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _grid_mats(l_max: int, n_points: int) -> Tuple[np.ndarray, np.ndarray]:
+def _grid_mats(
+    l_max: int, n_points: int, m_max: int | None = None
+) -> Tuple[np.ndarray, np.ndarray]:
     """(to_grid [P,S], from_grid [S,P]) on a Gauss-Legendre × uniform-φ grid.
 
     Equiangular-style quadrature like the reference SO3_Grid
@@ -70,9 +72,17 @@ def _grid_mats(l_max: int, n_points: int) -> Tuple[np.ndarray, np.ndarray]:
     `n_points` is a point budget: n_θ = max(L+1, round(sqrt(n_points/2))),
     n_φ = 2 n_θ - 1, so the models' grid_points_factor knobs keep their
     cost semantics.
+
+    `m_max` (per-edge truncated signals): caps n_φ at 2 m_max + 1 — the
+    reference SO3_Grid long_resolution for lmax > mmax (escn/so3.py:441-444).
+    Synthesis stays exact (signal has |m| <= m_max); analysis aliases the
+    nonlinearity's |m| > m_max products exactly as the reference's grid
+    does, at 1/3 the grid-tensor HBM traffic.
     """
     n_theta = max(l_max + 1, int(round((n_points / 2.0) ** 0.5)))
     n_phi = 2 * n_theta - 1
+    if m_max is not None and m_max < l_max:
+        n_phi = 2 * m_max + 1
     ct, wt = np.polynomial.legendre.leggauss(n_theta)  # nodes in cos θ
     phi = 2 * np.pi * np.arange(n_phi) / n_phi
     st = np.sqrt(1.0 - ct**2)
@@ -99,6 +109,19 @@ def _trunc_sizes(l_max: int, m_max: int) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
+def _mmajor_offsets(l_max: int, m_max: int) -> List[Tuple[int, int]]:
+    """[(start, n_l)] row spans in the m-major stack: m=0 span, then
+    (+m, -m) span pairs for m = 1..M."""
+    spans = [(0, l_max + 1)]
+    off = l_max + 1
+    for m in range(1, m_max + 1):
+        n_l = l_max + 1 - m
+        spans.append((off, n_l))
+        spans.append((off + n_l, n_l))
+        off += 2 * n_l
+    return spans
+
+
 class SO2Conv(nn.Module):
     """Complex-weighted per-m linear map (reference escn.py:807-878)."""
 
@@ -108,7 +131,7 @@ class SO2Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x_plus, x_minus, x_edge):
-        # x_plus/x_minus: [..., n_l, C] stacks over l >= m
+        # x_plus/x_minus: [..., n_l, C] contiguous m-major slices over l >= m
         n_l, c = x_plus.shape[-2], x_plus.shape[-1]
         flat_p = x_plus.reshape(*x_plus.shape[:-2], n_l * c)
         flat_m = x_minus.reshape(*x_minus.shape[:-2], n_l * c)
@@ -128,7 +151,13 @@ class SO2Conv(nn.Module):
 
 
 class SO2Block(nn.Module):
-    """All-m SO(2) convolution on edge-aligned truncated features."""
+    """All-m SO(2) convolution on edge-aligned truncated features.
+
+    Operates on the m-major [..., S_t, C] stack (so3.mmajor_rows order):
+    every per-m operand is a contiguous row slice and the output is a
+    single concatenate back in the same order — no per-l stacking copies
+    (the reference's runtime _m_primary reshuffle, escn/so3.py:24-110,
+    becomes the storage order)."""
 
     l_max: int
     m_max: int
@@ -136,39 +165,27 @@ class SO2Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_l: List[jnp.ndarray], x_edge):
-        # x_l[l]: [..., 2*min(l,M)+1, C] rotated-truncated per-l features
+    def __call__(self, x_t: jnp.ndarray, x_edge):
         L, M = self.l_max, self.m_max
-        c = x_l[0].shape[-1]
-        centers = [min(l, M) for l in range(L + 1)]
+        c = x_t.shape[-1]
+        spans = _mmajor_offsets(L, M)
         # m = 0 path
-        x0 = jnp.stack([x_l[l][..., centers[l], :] for l in range(L + 1)], axis=-2)
-        flat0 = x0.reshape(*x0.shape[:-2], (L + 1) * c)
+        s0, n0 = spans[0]
+        x0 = x_t[..., s0 : s0 + n0, :]
+        flat0 = x0.reshape(*x0.shape[:-2], n0 * c)
         g0 = jax.nn.silu(nn.Dense(self.hidden, dtype=self.dtype, name="fc_dist0")(x_edge))
         h0 = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="fc1_m0")(flat0) * g0
-        out0 = nn.Dense((L + 1) * c, use_bias=False, dtype=self.dtype, name="fc2_m0")(h0)
-        out0 = out0.reshape(x0.shape)
+        out0 = nn.Dense(n0 * c, use_bias=False, dtype=self.dtype, name="fc2_m0")(h0)
+        parts = [out0.reshape(x0.shape)]
         # m > 0 paths
-        outs = {0: out0}
         for m in range(1, M + 1):
-            ls = list(range(m, L + 1))
-            xp = jnp.stack([x_l[l][..., centers[l] + m, :] for l in ls], axis=-2)
-            xm = jnp.stack([x_l[l][..., centers[l] - m, :] for l in ls], axis=-2)
+            sp, n_l = spans[2 * m - 1]
+            sm, _ = spans[2 * m]
+            xp = x_t[..., sp : sp + n_l, :]
+            xm = x_t[..., sm : sm + n_l, :]
             op, om = SO2Conv(m, self.hidden, dtype=self.dtype, name=f"so2_m{m}")(xp, xm, x_edge)
-            outs[m] = (op, om)
-        # reassemble per-l truncated layout
-        new_x = []
-        for l in range(L + 1):
-            mc = centers[l]
-            rows = [None] * (2 * mc + 1)
-            rows[mc] = outs[0][..., l, :]
-            for m in range(1, mc + 1):
-                op, om = outs[m]
-                idx = l - m  # position of this l within the m-stack
-                rows[mc + m] = op[..., idx, :]
-                rows[mc - m] = om[..., idx, :]
-            new_x.append(jnp.stack(rows, axis=-2))
-        return new_x
+            parts += [op, om]
+        return jnp.concatenate(parts, axis=-2)
 
 
 class EdgeBlock(nn.Module):
@@ -211,8 +228,10 @@ class ESCNLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, nl: graph.NeighborList, d_rot, d_rot_inv, batch):
-        """x: [B,A,S,C]; d_rot/d_rot_inv: per-l lists of edge Wigner blocks."""
+    def __call__(self, x, nl: graph.NeighborList, d_t, batch):
+        """x: [B,A,S,C]; d_t: [B,A,K,S_t,S] m-major truncated block-diag
+        Wigner (so3.wigner_trunc_mmajor) — one batched matmul rotates +
+        truncates, its transpose-contraction rotates back."""
         L, M, C = self.l_max, self.m_max, self.sphere_channels
         z = batch.z
         z_src = graph.gather_nodes(z[..., None], nl.idx)[..., 0]  # neighbor j
@@ -221,45 +240,26 @@ class ESCNLayer(nn.Module):
             self.num_gaussians, dtype=self.dtype, name="edge_block",
         )(nl.dist, z_src, jnp.broadcast_to(z[:, :, None], z_src.shape))
 
-        # gather + rotate + truncate, per l
-        def rot_trunc(feats_edges):
-            out = []
-            for l in range(L + 1):
-                mc = min(l, M)
-                sl = slice(l * l, (l + 1) * (l + 1))
-                xl = feats_edges[..., sl, :]  # [B,A,K,2l+1,C]
-                d = d_rot[l][..., l - mc : l + mc + 1, :]  # rows |m|<=mc
-                out.append(jnp.einsum("bakmn,baknc->bakmc", d, xl))
-            return out
-
-        x_src = rot_trunc(graph.gather_nodes(x, nl.idx))
-        x_tgt = rot_trunc(jnp.broadcast_to(x[:, :, None], (*nl.idx.shape, *x.shape[2:])))
+        # gather + rotate + truncate: one batched matmul per stream
+        x_src = jnp.einsum("bakmn,baknc->bakmc", d_t, graph.gather_nodes(x, nl.idx))
+        # target stream never materializes the broadcast [B,A,K,S,C] copy
+        x_tgt = jnp.einsum("bakmn,banc->bakmc", d_t, x)
 
         msg_src = SO2Block(L, M, self.hidden, dtype=self.dtype, name="so2_source")(x_src, x_edge)
         msg_tgt = SO2Block(L, M, self.hidden, dtype=self.dtype, name="so2_target")(x_tgt, x_edge)
-        msg = [a + b for a, b in zip(msg_src, msg_tgt)]
+        msg = msg_src + msg_tgt  # [B,A,K,S_t,C] m-major
 
-        # point-wise nonlinearity on the (truncated) sphere grid
-        to_g, from_g = _grid_mats(L, self.grid_points)
-        cols = np.concatenate(
-            [np.arange(l * l + l - min(l, M), l * l + l + min(l, M) + 1) for l in range(L + 1)]
-        )
+        # point-wise nonlinearity on the truncated sphere grid at the
+        # reference's resolution (n_φ = 2M+1, escn/so3.py:441-444)
+        to_g, from_g = _grid_mats(L, self.grid_points, M)
+        cols = so3.mmajor_cols(L, M)
         to_gt = jnp.asarray(to_g[:, cols], x.dtype)
         from_gt = jnp.asarray(from_g[cols], x.dtype)
-        flat = jnp.concatenate(msg, axis=-2)  # [B,A,K,S_t,C]
-        grid = jnp.einsum("ps,baksc->bakpc", to_gt, flat)
-        grid = jax.nn.silu(grid)
-        flat = jnp.einsum("sp,bakpc->baksc", from_gt, grid)
-        sizes = _trunc_sizes(L, M)
-        msg = jnp.split(flat, np.cumsum(sizes)[:-1].tolist(), axis=-2)
+        grid = jax.nn.silu(jnp.einsum("ps,baksc->bakpc", to_gt, msg))
+        msg = jnp.einsum("sp,bakpc->baksc", from_gt, grid)
 
-        # rotate back (inverse = transpose), un-truncate, aggregate to receiver
-        outs = []
-        for l in range(L + 1):
-            mc = min(l, M)
-            d_inv = d_rot_inv[l][..., l - mc : l + mc + 1]  # cols |m|<=mc
-            outs.append(jnp.einsum("baknm,bakmc->baknc", d_inv, msg[l]))
-        full = jnp.concatenate(outs, axis=-2)  # [B,A,K,S,C]
+        # rotate back (inverse = transpose), un-truncate, aggregate
+        full = jnp.einsum("bakmn,bakmc->baknc", d_t, msg)  # [B,A,K,S,C]
         full = jnp.where(nl.mask[..., None, None], full, 0.0)
         x_message = full.sum(axis=2)  # [B,A,S,C]
 
@@ -303,10 +303,13 @@ class ESCN(nn.Module):
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
 
         cdt = jnp.dtype(self.compute_dtype)
-        # per-edge Wigner rotations aligning edge (j -> i direction) with ẑ
+        # per-edge Wigner rotations aligning edge (j -> i direction) with ẑ,
+        # assembled ONCE into the m-major truncated block-diagonal [S_t, S]
+        # form — the per-l small blocks (whose (8,128)-tile padding wastes
+        # up to 25x HBM) never survive into the layer loop
         rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_rot = [d.astype(cdt) for d in so3.wigner_d(rot, L)]
-        d_rot_inv = [jnp.swapaxes(d, -1, -2) for d in d_rot]
+        d_t = so3.wigner_trunc_mmajor(so3.wigner_d(rot, L), L, self.m_max)
+        d_t = d_t.astype(cdt)
 
         # node features: l=0 component = atom embedding
         emb = nn.Embed(self.num_elements, C, dtype=cdt, name="sphere_embedding")(batch.z)
@@ -320,7 +323,7 @@ class ESCN(nn.Module):
                 L, self.m_max, C, self.hidden, self.edge_channels,
                 self.num_elements, self.cutoff, num_gauss,
                 self.grid_points_factor * S, dtype=cdt, name=f"layer_{i}",
-            )(x, nl, d_rot, d_rot_inv, batch)
+            )(x, nl, d_t, batch)
             x = out if i == 0 else x + out
 
         # sphere-sampled heads (reference escn.py:935-1005)

@@ -329,3 +329,69 @@ class Irreps:
 def sh_offsets(l_max: int) -> List[Tuple[int, int]]:
     """[(offset, 2l+1)] per l in the flat (L+1)² layout."""
     return [(l * l, 2 * l + 1) for l in range(l_max + 1)]
+
+
+# ---------------------------------------------------------------------------
+# m-major truncated layouts (eSCN / EquiformerV2 SO(2) reduction)
+# ---------------------------------------------------------------------------
+
+
+def mmajor_rows(l_max: int, m_max: int) -> List[Tuple[int, int]]:
+    """Row order (l, m) of the m-truncated coefficient stack, grouped by m:
+    m=0 (l=0..L), then +m / -m pairs for m=1..M (l=m..L each).
+
+    Grouping by m makes every SO(2)-conv operand a CONTIGUOUS row slice —
+    the reference reaches the same layout dynamically via
+    CoefficientMapping.reshape_m (escn/so3.py:24-110); here it is the
+    static storage order, so no per-layer reshuffle copies exist at all.
+    """
+    rows = [(l, 0) for l in range(l_max + 1)]
+    for m in range(1, m_max + 1):
+        rows += [(l, m) for l in range(m, l_max + 1)]
+        rows += [(l, -m) for l in range(m, l_max + 1)]
+    return rows
+
+
+def mmajor_cols(l_max: int, m_max: int) -> np.ndarray:
+    """Flat (L+1)²-layout column index of each m-major row: l² + l + m."""
+    return np.asarray(
+        [l * l + l + m for l, m in mmajor_rows(l_max, m_max)], np.int32
+    )
+
+
+def wigner_trunc_mmajor(
+    ds: List[jnp.ndarray], l_max: int, m_max: int
+) -> jnp.ndarray:
+    """Assemble per-l Wigner blocks into ONE [..., S_t, S] block-diagonal
+    matrix whose rows are the m-major truncated layout (S_t = Σ 2min(l,M)+1)
+    and whose columns are the flat (L+1)² layout.
+
+    One batched matmul with this matrix replaces the per-l rotate+truncate
+    einsum loop; its transpose-contraction is the inverse rotation
+    (un-truncate). Per-l [..., 2l+1, 2l+1] tensors never reach the layer
+    loop, avoiding their catastrophic (8,128)-tile padding (up to 25x) on
+    TPU.
+    """
+    s_full = (l_max + 1) ** 2
+    batch = ds[0].shape[:-2]
+    # l-major truncated rows first (contiguous slices out of each d-block)
+    parts = []
+    for l in range(l_max + 1):
+        mc = min(l, m_max)
+        rows = ds[l][..., l - mc : l + mc + 1, :]  # [..., 2mc+1, 2l+1]
+        lo = l * l
+        hi = s_full - (l + 1) ** 2
+        parts.append(
+            jnp.pad(rows, [(0, 0)] * len(batch) + [(0, 0), (lo, hi)])
+        )
+    lmajor = jnp.concatenate(parts, axis=-2)  # [..., S_t, S]
+    # static row permutation l-major -> m-major
+    lmajor_order = [
+        (l, m)
+        for l in range(l_max + 1)
+        for m in range(-min(l, m_max), min(l, m_max) + 1)
+    ]
+    perm = np.asarray(
+        [lmajor_order.index(r) for r in mmajor_rows(l_max, m_max)], np.int32
+    )
+    return jnp.take(lmajor, jnp.asarray(perm), axis=-2)

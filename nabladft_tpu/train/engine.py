@@ -33,7 +33,7 @@ from nabladft_tpu.train import losses as losses_lib
 from nabladft_tpu.train.checkpoints import CheckpointManager
 from nabladft_tpu.train.loggers import Logger, StdoutLogger
 from nabladft_tpu.train.metrics import MetricAccumulator, batch_metric_sums
-from nabladft_tpu.train.schedulers import PlateauState, build_schedule
+from nabladft_tpu.train.schedulers import PlateauState, build_schedule, lookahead
 from nabladft_tpu.train.state import (
     TrainState,
     current_learning_rate,
@@ -51,6 +51,10 @@ class TrainerConfig:
     optimizer: str = "adamw"  # adamw | adam | amsgrad | sgd
     lr: float = 1e-4
     weight_decay: float = 0.0
+    # Skip weight decay on 1-d params (biases, layer-norm scales, RBF
+    # offsets) — the reference EquiformerV2 no_weight_decay param-group
+    # split (equiformer_v2_oc20.py:640-668), generalized by rank.
+    wd_skip_1d: bool = True
     grad_clip: Optional[float] = None
     schedule: str = "plateau"  # plateau | constant | linear | polynomial | cosine | multistep
     schedule_kwargs: Dict[str, Any] = field(default_factory=dict)
@@ -60,6 +64,10 @@ class TrainerConfig:
     plateau_min_lr: float = 1e-6
     ema_decay: float = 0.0  # 0 disables EMA
     eval_with_ema: bool = True
+    # Lookahead slow-weight sync (PhiSNet legacy trainer,
+    # phisnet/training/lookahead.py:8): 0 disables
+    lookahead_k: int = 0
+    lookahead_alpha: float = 0.5
     log_every_n_steps: int = 50
     ckpt_dir: Optional[str] = None
     save_top_k: int = 3
@@ -178,9 +186,13 @@ class Trainer:
         core = optax.inject_hyperparams(
             lambda learning_rate: opts[cfg.optimizer](learning_rate)
         )(learning_rate=lr)
+        parts = []
         if cfg.grad_clip:
-            return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), core)
-        return core
+            parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+        parts.append(core)
+        if cfg.lookahead_k:
+            parts.append(lookahead(cfg.lookahead_k, cfg.lookahead_alpha))
+        return parts[0] if len(parts) == 1 else optax.chain(*parts)
 
     def _maybe_shrink_mesh(self, batch_size: int) -> None:
         """If the batch doesn't divide the dp axis, rebuild the mesh with the

@@ -12,8 +12,10 @@ Optax-native equivalents of the reference's scheduler inventory:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -127,3 +129,58 @@ def build_schedule(
     if kind == "multistep":
         return multistep_warmup(base_lr, warmup_steps, **kwargs)
     raise KeyError(f"unknown schedule {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# Lookahead (PhiSNet legacy trainer parity)
+# ---------------------------------------------------------------------------
+
+
+class LookaheadState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter
+    slow: optax.Params  # slow-weight copy
+
+
+def lookahead(k: int = 5, alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper (Zhang et al. 2019) as a plain GradientTransformation.
+
+    Chain it AFTER the inner optimizer: the incoming `updates` are the inner
+    step. Every `k` steps the fast weights are pulled toward the slow copy:
+    p_new = slow + alpha * (p_fast - slow), and the slow copy syncs to p_new.
+    Unlike optax.lookahead this needs no LookaheadParams param wrapping, so
+    it composes with any existing train state / checkpoint layout.
+
+    Reference: phisnet/training/lookahead.py:8 (la_steps / la_alpha flags).
+    """
+
+    def init(params):
+        # NB: a genuine copy — aliasing the param buffers would make the
+        # engine's donate_argnums donate the same buffer twice.
+        return LookaheadState(
+            count=jnp.zeros([], jnp.int32),
+            slow=jax.tree_util.tree_map(lambda p: jnp.asarray(p).copy(), params),
+        )
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("lookahead requires params")
+        count = state.count + 1
+        sync = (count % k) == 0
+
+        def synced(_):
+            new_p = jax.tree_util.tree_map(
+                lambda s, p, u: s + alpha * (p + u - s),
+                state.slow, params, updates,
+            )
+            out_updates = jax.tree_util.tree_map(
+                lambda np_, p: np_ - p, new_p, params
+            )
+            return out_updates, new_p
+
+        def passthrough(_):
+            return updates, state.slow
+
+        out_updates, new_slow = jax.lax.cond(sync, synced, passthrough, None)
+        return out_updates, LookaheadState(count=count, slow=new_slow)
+
+    return optax.GradientTransformation(init, update)

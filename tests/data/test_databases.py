@@ -273,3 +273,26 @@ def test_loader_num_workers_deterministic(energy_db_path):
         np.testing.assert_array_equal(
             np.asarray(b1.graph_mask), np.asarray(b2.graph_mask)
         )
+
+
+def test_external_db_cache_never_writes_beside_source(energy_db_path, tmp_path, monkeypatch):
+    """A source DB outside the datasets root / cwd (e.g. the read-only
+    reference fixture mount) must get its .cache under root, not next to
+    the DB — as root, permission bits would not stop the write."""
+    import shutil
+
+    ext = tmp_path / "elsewhere"
+    ext.mkdir()
+    shutil.copy(energy_db_path, ext / "fixture.db")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    ds = EnergyDataset(str(ext / "fixture.db"), root=str(work / "datasets"))
+    assert len(ds.records) == 100
+    assert not (ext / "fixture.cache").exists()
+    caches = list((work / "datasets" / "cache").glob("fixture-*.cache"))
+    assert len(caches) == 1
+    # second load hits the same cache (keyed by resolved path)
+    ds2 = EnergyDataset(str(ext / "fixture.db"), root=str(work / "datasets"))
+    assert len(ds2.records) == 100
+    assert list((work / "datasets" / "cache").glob("fixture-*.cache")) == caches
