@@ -20,7 +20,7 @@ equivariant. alpha/drop-path dropout via the `deterministic` flag.
 
 from __future__ import annotations
 
-from typing import List
+
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import ModelOutput, register_model
-from nabladft_tpu.models.escn import _grid_mats, _trunc_sizes
+from nabladft_tpu.models.escn import _grid_mats, _mmajor_offsets
 from nabladft_tpu.ops import graph, so3
 from nabladft_tpu.ops.radial import gaussian_smearing
 
@@ -66,40 +66,32 @@ class SO2ConvEq(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_l: List[jnp.ndarray], x_edge=None):
+    def __call__(self, x_t: jnp.ndarray, x_edge=None):
+        # x_t: [..., S_t, Cin] m-major stack (so3.mmajor_rows order) — every
+        # per-m operand is a contiguous row slice, no stacking copies
         L, M, co = self.l_max, self.m_max, self.out_channels
-        centers = [min(l, M) for l in range(L + 1)]
-        x0 = jnp.stack([x_l[l][..., centers[l], :] for l in range(L + 1)], axis=-2)
+        spans = _mmajor_offsets(L, M)
+        s0, n0 = spans[0]
+        x0 = x_t[..., s0 : s0 + n0, :]
         flat0 = x0.reshape(*x0.shape[:-2], -1)
         h0 = nn.Dense((L + 1) * co + self.extra_m0_channels, use_bias=False,
                       dtype=self.dtype, name="fc_m0")(flat0)
         extra = h0[..., (L + 1) * co :]
         out0 = h0[..., : (L + 1) * co].reshape(*x0.shape[:-2], L + 1, co)
-        outs = {0: out0}
+        parts = [out0]
         for m in range(1, M + 1):
-            ls = list(range(m, L + 1))
-            xp = jnp.stack([x_l[l][..., centers[l] + m, :] for l in ls], axis=-2)
-            xm = jnp.stack([x_l[l][..., centers[l] - m, :] for l in ls], axis=-2)
-            n_l = len(ls)
+            sp, n_l = spans[2 * m - 1]
+            sm, _ = spans[2 * m]
+            xp = x_t[..., sp : sp + n_l, :]
+            xm = x_t[..., sm : sm + n_l, :]
             fp = xp.reshape(*xp.shape[:-2], -1)
             fm = xm.reshape(*xm.shape[:-2], -1)
             wr = nn.Dense(n_l * co, use_bias=False, dtype=self.dtype, name=f"fc_r_m{m}")
             wi = nn.Dense(n_l * co, use_bias=False, dtype=self.dtype, name=f"fc_i_m{m}")
             op = (wr(fp) - wi(fm)).reshape(*xp.shape[:-2], n_l, co)
             om = (wr(fm) + wi(fp)).reshape(*xm.shape[:-2], n_l, co)
-            outs[m] = (op, om)
-        new_x = []
-        for l in range(L + 1):
-            mc = centers[l]
-            rows = [None] * (2 * mc + 1)
-            rows[mc] = outs[0][..., l, :]
-            for m in range(1, mc + 1):
-                op, om = outs[m]
-                idx = l - m
-                rows[mc + m] = op[..., idx, :]
-                rows[mc - m] = om[..., idx, :]
-            new_x.append(jnp.stack(rows, axis=-2))
-        return new_x, extra
+            parts += [op, om]
+        return jnp.concatenate(parts, axis=-2), extra
 
 
 class GridFFN(nn.Module):
@@ -140,59 +132,49 @@ class SO2GraphAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, nl: graph.NeighborList, d_rot, d_rot_inv, x_edge):
+    def __call__(self, x, nl: graph.NeighborList, d_t, x_edge):
+        """d_t: [B,A,K,S_t,S] m-major truncated block-diagonal Wigner
+        (so3.wigner_trunc_mmajor)."""
         x = x.astype(self.dtype)
         L, M = self.l_max, self.m_max
         h, va, vc = self.num_heads, self.attn_alpha_channels, self.attn_value_channels
 
-        # concat source/target features per edge -> [B,A,K,S,2C]
-        x_src = graph.gather_nodes(x, nl.idx)
-        x_tgt = jnp.broadcast_to(x[:, :, None], x_src.shape)
-        msg = jnp.concatenate([x_src, x_tgt], axis=-1)
+        # rotate + truncate each stream with one batched matmul, THEN concat
+        # channel-wise in the (5.4x smaller) truncated space; the target
+        # stream contracts node features directly (no broadcast copy)
+        x_src = jnp.einsum("bakmn,baknc->bakmc", d_t, graph.gather_nodes(x, nl.idx))
+        x_tgt = jnp.einsum("bakmn,banc->bakmc", d_t, x)
+        msg = jnp.concatenate([x_src, x_tgt], axis=-1)  # [B,A,K,S_t,2C]
         c2 = msg.shape[-1]
 
-        # per-(l,channel) radial scaling shared over m (use_m_share_rad)
+        # per-(l,channel) radial scaling shared over m (use_m_share_rad).
+        # It is uniform over m within each l, so it commutes with the
+        # edge rotation — applied post-rotation on the truncated rows.
         rad = nn.Dense((L + 1) * c2, dtype=self.dtype, name="rad_func")(x_edge.astype(self.dtype))
         rad = rad.reshape(*rad.shape[:-1], L + 1, c2)
-        scale = jnp.concatenate(
-            [jnp.repeat(rad[..., l : l + 1, :], 2 * l + 1, axis=-2) for l in range(L + 1)],
-            axis=-2,
-        )
-        msg = msg * scale
-
-        # rotate + truncate per l
-        x_rot = []
-        for l in range(L + 1):
-            mc = min(l, M)
-            d = d_rot[l][..., l - mc : l + mc + 1, :]
-            x_rot.append(
-                jnp.einsum("bakmn,baknc->bakmc", d, msg[..., l * l : (l + 1) * (l + 1), :])
-            )
+        l_of_row = jnp.asarray([l for l, _ in so3.mmajor_rows(L, M)])
+        msg = msg * jnp.take(rad, l_of_row, axis=-2)
 
         hidden, extra = SO2ConvEq(
             L, M, h * vc, extra_m0_channels=h * va + h * vc, dtype=self.dtype,
             name="so2_conv_1"
-        )(x_rot, x_edge)
+        )(msg, x_edge)
         alpha_scal = extra[..., : h * va]
         gate_scal = extra[..., h * va :]
 
-        # separable S2 activation: grid-act the vector part, silu the gates
-        to_g, from_g = _grid_mats(L, self.grid_points)
-        cols = np.concatenate(
-            [np.arange(l * l + l - min(l, M), l * l + l + min(l, M) + 1) for l in range(L + 1)]
-        )
+        # separable S2 activation on the truncated rows at the reference
+        # resolution (n_phi = 2M+1); gates get a plain silu
+        to_g, from_g = _grid_mats(L, self.grid_points, M)
+        cols = so3.mmajor_cols(L, M)
         to_gt = jnp.asarray(to_g[:, cols], x.dtype)
         from_gt = jnp.asarray(from_g[cols], x.dtype)
-        flat = jnp.concatenate(hidden, axis=-2)
-        grid = jnp.einsum("ps,baksc->bakpc", to_gt, flat)
-        grid = jax.nn.silu(grid)
+        grid = jax.nn.silu(jnp.einsum("ps,baksc->bakpc", to_gt, hidden))
         flat = jnp.einsum("sp,bakpc->baksc", from_gt, grid)
-        sizes = _trunc_sizes(L, M)
-        parts = list(jnp.split(flat, np.cumsum(sizes)[:-1].tolist(), axis=-2))
-        # separable S2: the invariant (l=0) branch is a plain silu of the
-        # dedicated gating scalars instead of the grid round trip
-        parts[0] = jax.nn.silu(gate_scal)[..., None, :]
-        hidden = parts
+        # separable S2: the invariant (l=0, first m-major row) branch is a
+        # plain silu of the dedicated gating scalars instead of the grid
+        hidden = jnp.concatenate(
+            [jax.nn.silu(gate_scal)[..., None, :], flat[..., 1:, :]], axis=-2
+        )
 
         values, _ = SO2ConvEq(L, M, h * vc, dtype=self.dtype, name="so2_conv_2")(hidden, x_edge)
 
@@ -208,16 +190,10 @@ class SO2GraphAttention(nn.Module):
         alpha = jnp.where(nl.mask[..., None], alpha, 0.0).astype(self.dtype)
         alpha = nn.Dropout(self.alpha_drop, deterministic=self.deterministic)(alpha)
 
-        # weight messages, rotate back, aggregate
-        outs = []
-        for l in range(L + 1):
-            mc = min(l, M)
-            v = values[l].reshape(*values[l].shape[:-1], h, vc)
-            v = v * alpha[..., None, :, None]
-            v = v.reshape(*values[l].shape)
-            d_inv = d_rot_inv[l][..., l - mc : l + mc + 1]
-            outs.append(jnp.einsum("baknm,bakmc->baknc", d_inv, v))
-        full = jnp.concatenate(outs, axis=-2)  # [B,A,K,S,h*vc]
+        # weight messages (uniform over rows), rotate back, aggregate
+        v = values.reshape(*values.shape[:-1], h, vc) * alpha[..., None, :, None]
+        v = v.reshape(*values.shape)  # [B,A,K,S_t,h*vc]
+        full = jnp.einsum("bakmn,bakmc->baknc", d_t, v)  # [B,A,K,S,h*vc]
         full = jnp.where(nl.mask[..., None, None], full, 0.0)
         agg = full.sum(axis=2)  # [B,A,S,h*vc]
         # project per l to out_channels (SO3_Linear)
@@ -244,7 +220,7 @@ class TransBlockV2(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, nl, d_rot, d_rot_inv, x_edge):
+    def __call__(self, x, nl, d_t, x_edge):
         res = x
         h = EquivariantLayerNorm(self.l_max, name="norm_1")(x)
         h = SO2GraphAttention(
@@ -252,7 +228,7 @@ class TransBlockV2(nn.Module):
             self.attn_alpha_channels, self.attn_value_channels,
             self.sphere_channels, self.edge_channels, self.grid_points,
             self.deterministic, dtype=self.dtype, name="ga",
-        )(h, nl, d_rot, d_rot_inv, x_edge)
+        )(h, nl, d_t, x_edge)
         if not self.deterministic and self.drop_path > 0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - self.drop_path, (x.shape[0], 1, 1, 1)
@@ -306,8 +282,8 @@ class EquiformerV2(nn.Module):
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
         cdt = jnp.dtype(self.compute_dtype)
         rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_rot = [d.astype(cdt) for d in so3.wigner_d(rot, L)]
-        d_rot_inv = [jnp.swapaxes(d, -1, -2) for d in d_rot]
+        d_t = so3.wigner_trunc_mmajor(so3.wigner_d(rot, L), L, self.m_max)
+        d_t = d_t.astype(cdt)
 
         # invariant edge features: distance basis + endpoint embeddings
         dist_basis = gaussian_smearing(nl.dist, self.num_distance_basis, 0.0, self.cutoff)
@@ -326,17 +302,15 @@ class EquiformerV2(nn.Module):
         emb = nn.Embed(self.num_elements, C, dtype=cdt, name="sphere_embedding")(batch.z)
         x = jnp.zeros((*batch.z.shape, S, C), emb.dtype)
         x = x.at[..., 0, :].set(emb)
-        # edge-degree: m=0 radial vectors per l, rotated back and averaged
+        # edge-degree: m=0 radial vectors per l (the first L+1 m-major
+        # rows), rotated back and averaged
         deg = nn.Dense((L + 1) * C, dtype=cdt, name="edge_degree_proj")(x_edge)
         deg = deg.reshape(*deg.shape[:-1], L + 1, C)
-        deg_full = []
-        for l in range(L + 1):
-            mc = min(l, self.m_max)
-            block = jnp.zeros((*deg.shape[:-2], 2 * mc + 1, C), deg.dtype)
-            block = block.at[..., mc, :].set(deg[..., l, :])
-            d_inv = d_rot_inv[l][..., l - mc : l + mc + 1]
-            deg_full.append(jnp.einsum("baknm,bakmc->baknc", d_inv, block))
-        deg_full = jnp.concatenate(deg_full, axis=-2)
+        s_t = d_t.shape[-2]
+        deg_t = jnp.concatenate(
+            [deg, jnp.zeros((*deg.shape[:-2], s_t - (L + 1), C), deg.dtype)], axis=-2
+        )
+        deg_full = jnp.einsum("bakmn,bakmc->baknc", d_t, deg_t)
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + deg_full.sum(axis=2) / jnp.sqrt(jnp.asarray(float(self.max_neighbors)))
 
@@ -347,11 +321,10 @@ class EquiformerV2(nn.Module):
                 self.attn_value_channels, self.ffn_hidden_channels,
                 3 * self.edge_channels, gp, self.deterministic, dtype=cdt,
                 name=f"block_{i}",
-            )(x, nl, d_rot, d_rot_inv, x_edge)
+            )(x, nl, d_t, x_edge)
 
         x = EquivariantLayerNorm(L, name="norm_final")(x.astype(jnp.float32))
-        d_rot = [d.astype(jnp.float32) for d in d_rot]
-        d_rot_inv = [d.astype(jnp.float32) for d in d_rot_inv]
+        d_t = d_t.astype(jnp.float32)
         x_edge = x_edge.astype(jnp.float32)
 
         # energy head: FFN on node features, l=0 output
@@ -364,7 +337,7 @@ class EquiformerV2(nn.Module):
             L, self.m_max, C, self.num_heads, self.attn_alpha_channels,
             self.attn_value_channels, 1, 3 * self.edge_channels, gp,
             self.deterministic, name="force_block",
-        )(x, nl, d_rot, d_rot_inv, x_edge)
+        )(x, nl, d_t, x_edge)
         l1 = f_feat[..., 1:4, 0]  # (y, z, x)
         forces = jnp.stack([l1[..., 2], l1[..., 0], l1[..., 1]], axis=-1)
         forces = forces * batch.node_mask[..., None]
