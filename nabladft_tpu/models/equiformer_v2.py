@@ -282,7 +282,7 @@ class EquiformerV2(nn.Module):
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
         cdt = jnp.dtype(self.compute_dtype)
         rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_t = so3.wigner_trunc_mmajor(so3.wigner_d(rot, L), L, self.m_max)
+        d_t = so3.wigner_trunc_mmajor_from_rot(rot, L, self.m_max)
         d_t = d_t.astype(cdt)
 
         # invariant edge features: distance basis + endpoint embeddings

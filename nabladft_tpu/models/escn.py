@@ -22,7 +22,7 @@ memory peak, recomputed in backward.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Tuple
+from typing import List, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -263,16 +263,86 @@ class ESCNLayer(nn.Module):
         full = jnp.where(nl.mask[..., None, None], full, 0.0)
         x_message = full.sum(axis=2)  # [B,A,S,C]
 
-        # aggregated point-wise sphere MLP on [x, x_message]
-        to_gf = jnp.asarray(to_g, x.dtype)
-        from_gf = jnp.asarray(from_g, x.dtype)
-        g_m = jnp.einsum("ps,basc->bapc", to_gf, x_message)
-        g_x = jnp.einsum("ps,basc->bapc", to_gf, x)
-        g = jnp.concatenate([g_x, g_m], axis=-1)
-        g = jax.nn.silu(nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc1_sphere")(g))
-        g = jax.nn.silu(nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc2_sphere")(g))
-        g = nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc3_sphere")(g)
-        return jnp.einsum("sp,bapc->basc", from_gf, g)
+        # aggregated point-wise sphere MLP on [x, x_message] — FULL grid
+        # resolution (node features carry every m up to L; the truncated
+        # n_phi = 2M+1 grid above is only valid for the per-edge stream)
+        to_gf, from_gf = _grid_mats(L, self.grid_points)
+        return _sphere_mlp_tail(x, x_message, to_gf, from_gf, C, self.dtype)
+
+
+def _sphere_mlp_tail(x, x_message, to_g, from_g, c, dtype):
+    """Node-level full-grid MLP on [x, x_message] (escn.py:573-585).
+    Must run inside a compact module scope (creates Dense submodules)."""
+    to_gf = jnp.asarray(to_g, x.dtype)
+    from_gf = jnp.asarray(from_g, x.dtype)
+    g_m = jnp.einsum("ps,basc->bapc", to_gf, x_message)
+    g_x = jnp.einsum("ps,basc->bapc", to_gf, x)
+    g = jnp.concatenate([g_x, g_m], axis=-1)
+    g = jax.nn.silu(nn.Dense(c, use_bias=False, dtype=dtype, name="fc1_sphere")(g))
+    g = jax.nn.silu(nn.Dense(c, use_bias=False, dtype=dtype, name="fc2_sphere")(g))
+    g = nn.Dense(c, use_bias=False, dtype=dtype, name="fc3_sphere")(g)
+    return jnp.einsum("sp,bapc->basc", from_gf, g)
+
+
+class PallasESCNLayer(nn.Module):
+    """eSCN layer whose per-edge message pipeline runs as ONE fused Pallas
+    kernel (ops/pallas/escn_layer.escn_message): rotations, both SO(2)
+    blocks (gates computed in-kernel), the truncated-grid activation, and
+    the neighbor reduction never leave VMEM. The node-level sphere MLP
+    stays in XLA. Math parity with ESCNLayer is pinned by
+    tests/ops/test_escn_layer.py."""
+
+    l_max: int
+    m_max: int
+    sphere_channels: int
+    hidden: int
+    edge_channels: int
+    num_elements: int
+    cutoff: float
+    num_gaussians: int
+    grid_points: int
+    interpret: bool = False
+    # run the kernel's MXU matmuls in bf16 (fp32 accumulate) — the model's
+    # compute_dtype="bfloat16" analog for the fused path
+    mxu_bf16: bool = False
+
+    @nn.compact
+    def __call__(self, x, dcomp, dist_d, z_src_d, z_dst_d):
+        """x [B,A,S,C] fp32; dcomp [B,A,A,K] masked compact Wigner;
+        dist_d [B,A,A]; z_*_d [B,A,A] endpoint elements."""
+        from nabladft_tpu.ops.pallas import escn_layer as ek
+
+        L, M, C, H = self.l_max, self.m_max, self.sphere_channels, self.hidden
+        x_edge = EdgeBlock(
+            self.edge_channels, self.num_elements, self.cutoff,
+            self.num_gaussians, name="edge_block",
+        )(dist_d, z_src_d, z_dst_d)
+
+        ec = self.edge_channels
+        g_tot = (2 * M + 1) * H
+        lecun = nn.initializers.lecun_normal()
+        wg = self.param("wg", lecun, (2, ec, g_tot))
+        bg = self.param("bg", nn.initializers.zeros, (2, 1, g_tot))
+        n0 = L + 1
+        w1_0 = self.param("w1_0", lecun, (2, n0 * C, H))
+        w2_0 = self.param("w2_0", lecun, (2, H, n0 * C))
+        fc1_m, w2r_m, w2i_m = [], [], []
+        for m in range(1, M + 1):
+            n_l = L + 1 - m
+            fc1_m.append(self.param(f"fc1_m{m}", lecun, (2, n_l * C, 2 * H)))
+            w2r_m.append(self.param(f"w2r_m{m}", lecun, (2, H, n_l * C)))
+            w2i_m.append(self.param(f"w2i_m{m}", lecun, (2, H, n_l * C)))
+
+        x32 = x.astype(jnp.float32)
+        x_sm = jnp.swapaxes(x32, 1, 2)  # [B,S,A,C]
+        x_message = ek.escn_message(
+            L, M, self.grid_points, self.interpret, self.mxu_bf16,
+            x_sm, x32, dcomp, x_edge,
+            wg, bg, w1_0, w2_0, fc1_m, w2r_m, w2i_m,
+        )  # [B,A,S,C]
+
+        to_g, from_g = _grid_mats(L, self.grid_points)
+        return _sphere_mlp_tail(x, x_message, to_g, from_g, C, jnp.float32)
 
 
 @register_model("escn")
@@ -293,23 +363,51 @@ class ESCN(nn.Module):
     grid_points_factor: int = 2
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # fused Pallas message-layer kernel (ops/pallas/escn_layer): the XLA
+    # formulation is bandwidth-bound (<10% MFU) on its [E,·,C] HBM
+    # intermediates. "auto" = on for TPU, XLA path on CPU (interpret-mode
+    # compile of the unrolled kernel is far too slow for CPU test runs;
+    # parity is pinned by tests/ops/test_escn_layer.py). NOTE: the two
+    # paths use different parameter layouts — checkpoints are per-path.
+    use_pallas: Union[bool, str] = "auto"
 
     derivative_forces = False  # sphere-sampled direct force head
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(self.use_pallas)
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
         L, C = self.l_max, self.sphere_channels
         S = (L + 1) ** 2
+        a_dim = batch.z.shape[1]
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
 
         cdt = jnp.dtype(self.compute_dtype)
-        # per-edge Wigner rotations aligning edge (j -> i direction) with ẑ,
-        # assembled ONCE into the m-major truncated block-diagonal [S_t, S]
-        # form — the per-l small blocks (whose (8,128)-tile padding wastes
-        # up to 25x HBM) never survive into the layer loop
+        pallas_on = self._pallas_enabled()
         rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_t = so3.wigner_trunc_mmajor(so3.wigner_d(rot, L), L, self.m_max)
-        d_t = d_t.astype(cdt)
+        if pallas_on:
+            # dense-pair lattice for the fused kernel, scattered from the
+            # SAME top-K neighbor list so both paths see identical graphs
+            onehot = jax.nn.one_hot(nl.idx, a_dim, dtype=jnp.float32)
+            onehot = onehot * nl.mask[..., None]
+            mask_d = jnp.einsum("bakj->baj", onehot)  # [B,A,A] 0/1
+            unit_d = jnp.einsum("bakj,bakx->bajx", onehot, nl.unit)
+            dist_d = jnp.einsum("bakj,bak->baj", onehot, nl.dist)
+            rot_d = so3.rot_to_z(unit_d)
+            dcomp = so3.wigner_trunc_compact_from_rot(rot_d, L, self.m_max)
+            dcomp = dcomp * mask_d[..., None]
+            z_src_d = jnp.broadcast_to(batch.z[:, None, :], (dcomp.shape[:3]))
+            z_dst_d = jnp.broadcast_to(batch.z[:, :, None], (dcomp.shape[:3]))
+        else:
+            # per-edge Wigner rotations, assembled ONCE into the m-major
+            # truncated block-diagonal [S_t, S] form — the per-l small
+            # blocks (whose (8,128)-tile padding wastes up to 25x HBM)
+            # never survive into the layer loop
+            d_t = so3.wigner_trunc_mmajor_from_rot(rot, L, self.m_max)
+            d_t = d_t.astype(cdt)
 
         # node features: l=0 component = atom embedding
         emb = nn.Embed(self.num_elements, C, dtype=cdt, name="sphere_embedding")(batch.z)
@@ -317,14 +415,27 @@ class ESCN(nn.Module):
         x = x.at[..., 0, :].set(emb)
 
         num_gauss = int(round(self.cutoff / self.distance_resolution))
-        layer_cls = nn.remat(ESCNLayer) if self.remat else ESCNLayer
-        for i in range(self.num_layers):
-            out = layer_cls(
-                L, self.m_max, C, self.hidden, self.edge_channels,
-                self.num_elements, self.cutoff, num_gauss,
-                self.grid_points_factor * S, dtype=cdt, name=f"layer_{i}",
-            )(x, nl, d_t, batch)
-            x = out if i == 0 else x + out
+        if pallas_on:
+            interp = jax.default_backend() == "cpu"
+            x = x.astype(jnp.float32)
+            for i in range(self.num_layers):
+                out = PallasESCNLayer(
+                    L, self.m_max, C, self.hidden, self.edge_channels,
+                    self.num_elements, self.cutoff, num_gauss,
+                    self.grid_points_factor * S, interpret=interp,
+                    mxu_bf16=(cdt == jnp.bfloat16),
+                    name=f"layer_{i}",
+                )(x, dcomp, dist_d, z_src_d, z_dst_d)
+                x = out if i == 0 else x + out
+        else:
+            layer_cls = nn.remat(ESCNLayer) if self.remat else ESCNLayer
+            for i in range(self.num_layers):
+                out = layer_cls(
+                    L, self.m_max, C, self.hidden, self.edge_channels,
+                    self.num_elements, self.cutoff, num_gauss,
+                    self.grid_points_factor * S, dtype=cdt, name=f"layer_{i}",
+                )(x, nl, d_t, batch)
+                x = out if i == 0 else x + out
 
         # sphere-sampled heads (reference escn.py:935-1005)
         pts = _fibonacci_sphere(self.num_sphere_samples)

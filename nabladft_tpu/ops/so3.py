@@ -395,3 +395,87 @@ def wigner_trunc_mmajor(
         [lmajor_order.index(r) for r in mmajor_rows(l_max, m_max)], np.int32
     )
     return jnp.take(lmajor, jnp.asarray(perm), axis=-2)
+
+
+def wigner_trunc_mmajor_from_rot(
+    rot: jnp.ndarray, l_max: int, m_max: int
+) -> jnp.ndarray:
+    """wigner_d + wigner_trunc_mmajor fused, computed in a lanes-major
+    layout: the (huge) edge batch lives in the MINOR axis through the CG
+    recursion, so the tiny (2l+1)-sized axes never land on the (8,128)
+    tile layout (where they pad up to 25x and dominate the build cost).
+    One final transpose restores [..., S_t, S].
+    """
+    batch_shape = rot.shape[:-2]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    r = rot.reshape(n, 3, 3)
+    r = jnp.moveaxis(r, 0, -1)  # [3,3,N]
+    p = jnp.asarray(_XYZ_TO_YZX, rot.dtype)
+    d1 = jnp.einsum("ia,abN,jb->ijN", p, r, p)
+    ds = [jnp.ones((1, 1, n), rot.dtype), d1]
+    for l in range(2, l_max + 1):
+        c = jnp.asarray(real_cg(l - 1, 1, l), rot.dtype)
+        ds.append(jnp.einsum("abm,axN,byN,xyn->mnN", c, ds[l - 1], d1, c))
+    # truncated l-major rows, padded into the flat (L+1)^2 column layout
+    s_full = (l_max + 1) ** 2
+    parts = []
+    for l in range(l_max + 1):
+        mc = min(l, m_max)
+        rows = ds[l][l - mc : l + mc + 1]  # [2mc+1, 2l+1, N]
+        lo = l * l
+        hi = s_full - (l + 1) ** 2
+        parts.append(jnp.pad(rows, [(0, 0), (lo, hi), (0, 0)]))
+    lmajor = jnp.concatenate(parts, axis=0)  # [S_t, S, N]
+    lmajor_order = [
+        (l, m)
+        for l in range(l_max + 1)
+        for m in range(-min(l, m_max), min(l, m_max) + 1)
+    ]
+    perm = np.asarray(
+        [lmajor_order.index(rw) for rw in mmajor_rows(l_max, m_max)], np.int32
+    )
+    out = jnp.take(lmajor, jnp.asarray(perm), axis=0)
+    out = jnp.moveaxis(out, -1, 0)  # [N, S_t, S]
+    return out.reshape(*batch_shape, out.shape[-2], out.shape[-1])
+
+
+def trunc_compact_layout(l_max: int, m_max: int) -> Tuple[List[int], int]:
+    """Per-l offsets and total size of the compact truncated-Wigner value
+    vector: block l stores its (2min(l,M)+1) x (2l+1) truncated rows
+    row-major at offset off[l]. idx(l, mrow, col) = off[l] + mrow*(2l+1)+col.
+    """
+    offs, off = [], 0
+    for l in range(l_max + 1):
+        offs.append(off)
+        off += (2 * min(l, m_max) + 1) * (2 * l + 1)
+    return offs, off
+
+
+def wigner_trunc_compact_from_rot(
+    rot: jnp.ndarray, l_max: int, m_max: int, pad_to: int = 128
+) -> jnp.ndarray:
+    """Compact per-edge truncated Wigner values [..., K_pad] (lanes-major
+    build like wigner_trunc_mmajor_from_rot, but without the zero block
+    structure): the Pallas fused eSCN/EquiformerV2 layer kernels consume
+    these as [A, K] lane slices for their rotation MACs.
+    """
+    batch_shape = rot.shape[:-2]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    r = jnp.moveaxis(rot.reshape(n, 3, 3), 0, -1)
+    p = jnp.asarray(_XYZ_TO_YZX, rot.dtype)
+    d1 = jnp.einsum("ia,abN,jb->ijN", p, r, p)
+    ds = [jnp.ones((1, 1, n), rot.dtype), d1]
+    for l in range(2, l_max + 1):
+        c = jnp.asarray(real_cg(l - 1, 1, l), rot.dtype)
+        ds.append(jnp.einsum("abm,axN,byN,xyn->mnN", c, ds[l - 1], d1, c))
+    parts = []
+    for l in range(l_max + 1):
+        mc = min(l, m_max)
+        rows = ds[l][l - mc : l + mc + 1]  # [2mc+1, 2l+1, N]
+        parts.append(rows.reshape((2 * mc + 1) * (2 * l + 1), n))
+    flat = jnp.concatenate(parts, axis=0)  # [K, N]
+    k = flat.shape[0]
+    k_pad = ((k + pad_to - 1) // pad_to) * pad_to
+    flat = jnp.pad(flat, ((0, k_pad - k), (0, 0)))
+    out = jnp.moveaxis(flat, -1, 0)  # [N, K_pad]
+    return out.reshape(*batch_shape, k_pad)

@@ -1,0 +1,110 @@
+"""Parity of the fused Pallas eSCN message layer vs the XLA ESCNLayer.
+
+Runs at a reduced (L=2, M=1) configuration: interpret-mode compile of the
+unrolled full-size kernel is minutes-long on CPU; full-size parity was
+verified on TPU. The math is L/M-parametric (same code path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nabladft_tpu.data.batch import MolBatch
+from nabladft_tpu.models import create_model
+
+
+def _make_batch(rng, b=2, a=8):
+    node_mask = np.ones((b, a), bool)
+    node_mask[0, -2:] = False
+    z = rng.integers(1, 9, (b, a)).astype(np.int32)
+    pos = (rng.normal(size=(b, a, 3)) * 1.5).astype(np.float32)
+    return MolBatch(
+        z=z, pos=pos, node_mask=node_mask,
+        graph_mask=np.ones((b,), bool),
+        energy=rng.normal(size=(b,)).astype(np.float32),
+        forces=rng.normal(size=(b, a, 3)).astype(np.float32)
+        * node_mask[..., None],
+        mol_id=np.arange(b, dtype=np.int32),
+    )
+
+
+KW = dict(num_layers=2, l_max=2, m_max=1, sphere_channels=8, hidden=16,
+          edge_channels=8, cutoff=6.0, max_neighbors=7,
+          num_sphere_samples=16, distance_resolution=0.5)
+
+
+def _remap_params(pallas_params, l_max, m_max):
+    """Map the pallas-path param tree onto the XLA-path tree."""
+    import copy
+
+    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, pallas_params))
+    params = out["params"]
+    for lname, lp in params.items():
+        if not lname.startswith("layer_"):
+            continue
+        wg, bg = lp.pop("wg"), lp.pop("bg")
+        w1_0, w2_0 = lp.pop("w1_0"), lp.pop("w2_0")
+        for bi, bname in ((0, "so2_source"), (1, "so2_target")):
+            blk = {
+                "fc_dist0": {"kernel": wg[bi][:, : 16], "bias": bg[bi][0, :16]},
+                "fc1_m0": {"kernel": w1_0[bi]},
+                "fc2_m0": {"kernel": w2_0[bi]},
+            }
+            for m in range(1, m_max + 1):
+                fc1 = lp["fc1_m%d" % m] if f"fc1_m{m}" in lp else lp.pop(f"fc1_m{m}")
+                w2r = lp[f"w2r_m{m}"]
+                w2i = lp[f"w2i_m{m}"]
+                h = w2r.shape[1]
+                blk[f"so2_m{m}"] = {
+                    "fc_dist": {
+                        "kernel": wg[bi][:, (2 * m - 1) * h : (2 * m + 1) * h],
+                        "bias": bg[bi][0, (2 * m - 1) * h : (2 * m + 1) * h],
+                    },
+                    "fc1_r": {"kernel": fc1[bi][:, :h]},
+                    "fc1_i": {"kernel": fc1[bi][:, h:]},
+                    "fc2_r": {"kernel": w2r[bi]},
+                    "fc2_i": {"kernel": w2i[bi]},
+                }
+            params[lname][bname] = blk
+        for m in range(1, m_max + 1):
+            lp.pop(f"fc1_m{m}", None)
+            lp.pop(f"w2r_m{m}", None)
+            lp.pop(f"w2i_m{m}", None)
+    return out
+
+
+def test_pallas_layer_matches_xla_forward_and_grads():
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng)
+    m_pl = create_model("escn", **KW, use_pallas=True, remat=False)
+    m_x = create_model("escn", **KW, use_pallas=False, remat=False)
+    p_pl = jax.jit(m_pl.init)(jax.random.PRNGKey(0), batch)
+    p_x = _remap_params(p_pl, KW["l_max"], KW["m_max"])
+
+    out_pl = m_pl.apply(p_pl, batch)
+    out_x = m_x.apply(p_x, batch)
+    np.testing.assert_allclose(
+        np.asarray(out_pl["energy"]), np.asarray(out_x["energy"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl["forces"]), np.asarray(out_x["forces"]),
+        rtol=2e-3, atol=1e-6,
+    )
+
+    def loss(m, p):
+        o = m.apply(p, batch)
+        return jnp.sum(o["energy"] ** 2) + jnp.sum(o["forces"] ** 2)
+
+    g_pl = jax.grad(lambda p: loss(m_pl, p))(p_pl)
+    g_x = jax.grad(lambda p: loss(m_x, p))(p_x)
+    # compare a shared-name leaf (embedding) and a remapped SO2 weight
+    ge_pl = np.asarray(g_pl["params"]["sphere_embedding"]["embedding"])
+    ge_x = np.asarray(g_x["params"]["sphere_embedding"]["embedding"])
+    np.testing.assert_allclose(ge_pl, ge_x, rtol=2e-3, atol=1e-6)
+    gw_pl = np.asarray(g_pl["params"]["layer_0"]["w1_0"][0])
+    gw_x = np.asarray(
+        g_x["params"]["layer_0"]["so2_source"]["fc1_m0"]["kernel"]
+    )
+    np.testing.assert_allclose(gw_pl, gw_x, rtol=2e-3, atol=1e-6)
