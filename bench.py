@@ -59,7 +59,7 @@ ZOO_BENCH = {
         ),
     ),
     "gemnet_oc": dict(
-        batch=64,
+        batch=32,  # B=64 needs 19.3 GB HBM (quadruplet tensors)
         anchor=120.0,  # 4 blocks, quadruplet interactions
         kwargs=dict(
             num_blocks=4, emb_size_atom=256, emb_size_edge=512,
@@ -70,13 +70,16 @@ ZOO_BENCH = {
     "schnet": dict(
         batch=256,
         anchor=2000.0,  # lightest reference model
+        force_grads="surrogate",
         kwargs=dict(
             hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
             max_neighbors=40, compute_dtype="bfloat16",
         ),
     ),
     "dimenetpp": dict(
-        batch=128,
+        batch=8,  # the dense [B,A,K,K] triplet lattice under
+        # reverse-over-reverse derivative forces is the memory wall
+        # (47 GB at B=64); B=8 fits the 16 GB chip
         anchor=250.0,  # triplet message passing
         kwargs=dict(compute_dtype="bfloat16"),
     ),
@@ -217,6 +220,7 @@ def bench_zoo(name: str) -> None:
         schedule="constant", lr=1e-4, log_every_n_steps=10**9,
         loss_specs={"energy": "l1", "forces": "l2norm"},
         loss_coefs={"energy": 1.0, "forces": 1.0},
+        force_grads=spec.get("force_grads", "direct"),
     )
     trainer = Trainer(model, cfg)
     batch = make_batch(np.random.default_rng(0), batch_size=spec["batch"])

@@ -20,6 +20,8 @@ equivariant. alpha/drop-path dropout via the `deterministic` flag.
 
 from __future__ import annotations
 
+from typing import Union
+
 
 
 import jax
@@ -205,6 +207,81 @@ class SO2GraphAttention(nn.Module):
         return jnp.concatenate(proj, axis=-2)
 
 
+class PallasSO2GraphAttention(nn.Module):
+    """SO2GraphAttention whose per-edge pipeline runs as one fused Pallas
+    kernel (ops/pallas/eqv2_attn.eqv2_attention_vjp); the per-l output
+    projection stays in XLA. Parameter layout differs from the XLA module
+    (kernel-packed matrices); parity is pinned by tests/ops/test_eqv2_attn.
+    """
+
+    l_max: int
+    m_max: int
+    sphere_channels: int
+    num_heads: int
+    attn_alpha_channels: int
+    attn_value_channels: int
+    out_channels: int
+    edge_channels: int
+    grid_points: int
+    deterministic: bool = True
+    alpha_drop: float = 0.1
+    interpret: bool = False
+    mxu_bf16: bool = False
+
+    @nn.compact
+    def __call__(self, x, dcomp, maskf, x_edge):
+        from nabladft_tpu.ops.pallas import eqv2_attn as ak
+
+        L, M, C = self.l_max, self.m_max, self.sphere_channels
+        nh, va, vc = self.num_heads, self.attn_alpha_channels, self.attn_value_channels
+        co = nh * vc
+        n0 = L + 1
+        ec = x_edge.shape[-1]
+        lecun = nn.initializers.lecun_normal()
+        w_rad = self.param("w_rad", lecun, (ec, n0 * 2 * C))
+        b_rad = self.param("b_rad", nn.initializers.zeros, (1, n0 * 2 * C))
+        w1 = self.param("w1", lecun, (n0 * 2 * C, n0 * co + nh * va + co))
+        w2 = self.param("w2", lecun, (n0 * co, n0 * co))
+        fc1m, fc2m = [], []
+        for m in range(1, M + 1):
+            n_l = L + 1 - m
+            fc1m.append(self.param(f"fc1_m{m}", lecun, (n_l * 2 * C, 2 * n_l * co)))
+            fc2m.append(self.param(f"fc2_m{m}", lecun, (n_l * co, 2 * n_l * co)))
+        ln_scale = self.param("ln_scale", nn.initializers.ones, (1, va))
+        ln_bias = self.param("ln_bias", nn.initializers.zeros, (1, va))
+        alpha_dot = self.param(
+            "alpha_dot", nn.initializers.normal(1.0), (nh, va)
+        )
+        alpha_dot_flat = alpha_dot.reshape(1, nh * va)
+
+        b, a = x.shape[0], x.shape[1]
+        if not self.deterministic and self.alpha_drop > 0:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.alpha_drop, (b, a, a, nh)
+            )
+            dropk = keep.astype(jnp.float32) / (1.0 - self.alpha_drop)
+        else:
+            dropk = jnp.ones((b, a, a, nh), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        x_sm = jnp.swapaxes(x32, 1, 2)
+        interp = self.interpret
+        agg = ak.eqv2_attention_vjp(
+            L, M, self.grid_points, interp, self.mxu_bf16, nh, va,
+            x_sm, x32, dcomp, x_edge.astype(jnp.float32),
+            maskf[..., None], dropk,
+            w_rad, b_rad, w1, fc1m, w2, fc2m,
+            jnp.tile(ln_scale, (1, nh)), jnp.tile(ln_bias, (1, nh)),
+            alpha_dot_flat,
+        )  # [B,A,S,co]
+        proj = []
+        for l in range(L + 1):
+            sl = agg[..., l * l : (l + 1) * (l + 1), :]
+            proj.append(nn.Dense(self.out_channels, use_bias=(l == 0),
+                                 name=f"proj_l{l}")(sl))
+        return jnp.concatenate(proj, axis=-2)
+
+
 class TransBlockV2(nn.Module):
     l_max: int
     m_max: int
@@ -218,17 +295,29 @@ class TransBlockV2(nn.Module):
     deterministic: bool = True
     drop_path: float = 0.05
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    interpret: bool = False
+    mxu_bf16: bool = False
 
     @nn.compact
-    def __call__(self, x, nl, d_t, x_edge):
+    def __call__(self, x, ctx):
         res = x
         h = EquivariantLayerNorm(self.l_max, name="norm_1")(x)
-        h = SO2GraphAttention(
-            self.l_max, self.m_max, self.sphere_channels, self.num_heads,
-            self.attn_alpha_channels, self.attn_value_channels,
-            self.sphere_channels, self.edge_channels, self.grid_points,
-            self.deterministic, dtype=self.dtype, name="ga",
-        )(h, nl, d_t, x_edge)
+        if self.use_pallas:
+            h = PallasSO2GraphAttention(
+                self.l_max, self.m_max, self.sphere_channels, self.num_heads,
+                self.attn_alpha_channels, self.attn_value_channels,
+                self.sphere_channels, self.edge_channels, self.grid_points,
+                self.deterministic, interpret=self.interpret,
+                mxu_bf16=self.mxu_bf16, name="ga",
+            )(h, ctx["dcomp"], ctx["maskf"], ctx["xe"])
+        else:
+            h = SO2GraphAttention(
+                self.l_max, self.m_max, self.sphere_channels, self.num_heads,
+                self.attn_alpha_channels, self.attn_value_channels,
+                self.sphere_channels, self.edge_channels, self.grid_points,
+                self.deterministic, dtype=self.dtype, name="ga",
+            )(h, ctx["nl"], ctx["d_t"], ctx["xe"])
         if not self.deterministic and self.drop_path > 0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - self.drop_path, (x.shape[0], 1, 1, 1)
@@ -271,32 +360,56 @@ class EquiformerV2(nn.Module):
     deterministic: bool = True
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # fused Pallas attention kernel (ops/pallas/eqv2_attn); "auto" = on
+    # for TPU. NOTE: different parameter layout than the XLA path.
+    use_pallas: Union[bool, str] = "auto"
 
     derivative_forces = False  # equivariant direct force head
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(self.use_pallas)
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
         L, C = self.l_max, self.sphere_channels
         S = (L + 1) ** 2
+        a_dim = batch.z.shape[1]
         gp = self.grid_points_factor * S
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
         cdt = jnp.dtype(self.compute_dtype)
-        rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
-        d_t = so3.wigner_trunc_mmajor_from_rot(rot, L, self.m_max)
-        d_t = d_t.astype(cdt)
+        pallas_on = self._pallas_enabled()
+        interp = jax.default_backend() == "cpu"
+        ctx = {"nl": nl}
+        if pallas_on:
+            mask_d, unit_d, dist_d = graph.dense_from_neighbor_list(nl, a_dim)
+            rot_d = so3.rot_to_z(unit_d)
+            dcomp = so3.wigner_trunc_compact_from_rot(rot_d, L, self.m_max)
+            dcomp = dcomp * mask_d[..., None]
+            ctx["dcomp"] = dcomp
+            ctx["maskf"] = mask_d
+            edge_dist = dist_d
+            z_src = jnp.broadcast_to(batch.z[:, None, :], mask_d.shape)
+            z_dst = jnp.broadcast_to(batch.z[:, :, None], mask_d.shape)
+        else:
+            rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
+            d_t = so3.wigner_trunc_mmajor_from_rot(rot, L, self.m_max)
+            ctx["d_t"] = d_t.astype(cdt)
+            edge_dist = nl.dist
+            z_src = graph.gather_nodes(batch.z[..., None], nl.idx)[..., 0]
+            z_dst = jnp.broadcast_to(batch.z[:, :, None], z_src.shape)
 
         # invariant edge features: distance basis + endpoint embeddings
-        dist_basis = gaussian_smearing(nl.dist, self.num_distance_basis, 0.0, self.cutoff)
-        z_src = graph.gather_nodes(batch.z[..., None], nl.idx)[..., 0]
+        dist_basis = gaussian_smearing(edge_dist, self.num_distance_basis, 0.0, self.cutoff)
         src_emb = nn.Embed(self.num_elements, self.edge_channels, name="src_embed")(z_src)
-        dst_emb = nn.Embed(self.num_elements, self.edge_channels, name="dst_embed")(
-            jnp.broadcast_to(batch.z[:, :, None], z_src.shape)
-        )
+        dst_emb = nn.Embed(self.num_elements, self.edge_channels, name="dst_embed")(z_dst)
         x_edge = jnp.concatenate(
             [nn.Dense(self.edge_channels, name="dist_proj")(dist_basis), src_emb, dst_emb],
             axis=-1,
         )
-        x_edge = jax.nn.silu(x_edge).astype(cdt)
+        x_edge = jax.nn.silu(x_edge).astype(cdt if not pallas_on else jnp.float32)
+        ctx["xe"] = x_edge
 
         # node init: l=0 atom embedding + edge-degree embedding
         emb = nn.Embed(self.num_elements, C, dtype=cdt, name="sphere_embedding")(batch.z)
@@ -304,28 +417,51 @@ class EquiformerV2(nn.Module):
         x = x.at[..., 0, :].set(emb)
         # edge-degree: m=0 radial vectors per l (the first L+1 m-major
         # rows), rotated back and averaged
-        deg = nn.Dense((L + 1) * C, dtype=cdt, name="edge_degree_proj")(x_edge)
+        deg = nn.Dense((L + 1) * C, dtype=cdt, name="edge_degree_proj")(x_edge.astype(cdt))
         deg = deg.reshape(*deg.shape[:-1], L + 1, C)
-        s_t = d_t.shape[-2]
-        deg_t = jnp.concatenate(
-            [deg, jnp.zeros((*deg.shape[:-2], s_t - (L + 1), C), deg.dtype)], axis=-2
-        )
-        deg_full = jnp.einsum("bakmn,bakmc->baknc", d_t, deg_t)
-        deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
-        x = x + deg_full.sum(axis=2) / jnp.sqrt(jnp.asarray(float(self.max_neighbors)))
+        if pallas_on:
+            # rotate back via the compact values: row (l,m=0) has
+            # block-offset mrow = min(l,M)
+            offs, _ = so3.trunc_compact_layout(L, self.m_max)
+            deg_cols = []
+            for l in range(L + 1):
+                mc = min(l, self.m_max)
+                base = offs[l] + mc * (2 * l + 1)
+                dl = jax.lax.slice_in_dim(dcomp, base, base + 2 * l + 1, axis=-1)
+                # neighbor sum INSIDE the einsum (dcomp is pre-masked) —
+                # never materializes a [B,A,A,S,C] tensor
+                deg_cols.append(jnp.einsum("bajn,bajc->banc", dl, deg[..., l, :]))
+            deg_agg = jnp.concatenate(deg_cols, axis=-2)  # [B,A,S,C]
+            x = x + deg_agg / jnp.sqrt(jnp.asarray(float(self.max_neighbors)))
+        else:
+            s_t = ctx["d_t"].shape[-2]
+            deg_t = jnp.concatenate(
+                [deg, jnp.zeros((*deg.shape[:-2], s_t - (L + 1), C), deg.dtype)],
+                axis=-2,
+            )
+            deg_full = jnp.einsum("bakmn,bakmc->baknc", ctx["d_t"], deg_t)
+            deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
+            x = x + deg_full.sum(axis=2) / jnp.sqrt(
+                jnp.asarray(float(self.max_neighbors))
+            )
 
-        block_cls = nn.remat(TransBlockV2) if self.remat else TransBlockV2
+        block_cls = TransBlockV2 if (pallas_on or not self.remat) else nn.remat(
+            TransBlockV2
+        )
         for i in range(self.num_layers):
             x = block_cls(
                 L, self.m_max, C, self.num_heads, self.attn_alpha_channels,
                 self.attn_value_channels, self.ffn_hidden_channels,
                 3 * self.edge_channels, gp, self.deterministic, dtype=cdt,
+                use_pallas=pallas_on, interpret=interp,
+                mxu_bf16=(cdt == jnp.bfloat16),
                 name=f"block_{i}",
-            )(x, nl, d_t, x_edge)
+            )(x, ctx)
 
         x = EquivariantLayerNorm(L, name="norm_final")(x.astype(jnp.float32))
-        d_t = d_t.astype(jnp.float32)
-        x_edge = x_edge.astype(jnp.float32)
+        if not pallas_on:
+            ctx["d_t"] = ctx["d_t"].astype(jnp.float32)
+        ctx["xe"] = x_edge.astype(jnp.float32)
 
         # energy head: FFN on node features, l=0 output
         e_feat = GridFFN(L, self.ffn_hidden_channels, 1, gp, name="energy_ffn")(x)
@@ -333,11 +469,19 @@ class EquiformerV2(nn.Module):
         energy = jnp.sum(jnp.where(batch.node_mask, node_e, 0.0), axis=1)
 
         # force head: 1-channel attention block, take l=1 (order y,z,x)
-        f_feat = SO2GraphAttention(
-            L, self.m_max, C, self.num_heads, self.attn_alpha_channels,
-            self.attn_value_channels, 1, 3 * self.edge_channels, gp,
-            self.deterministic, name="force_block",
-        )(x, nl, d_t, x_edge)
+        if pallas_on:
+            f_feat = PallasSO2GraphAttention(
+                L, self.m_max, C, self.num_heads, self.attn_alpha_channels,
+                self.attn_value_channels, 1, 3 * self.edge_channels, gp,
+                self.deterministic, interpret=interp,
+                mxu_bf16=(cdt == jnp.bfloat16), name="force_block",
+            )(x, ctx["dcomp"], ctx["maskf"], ctx["xe"])
+        else:
+            f_feat = SO2GraphAttention(
+                L, self.m_max, C, self.num_heads, self.attn_alpha_channels,
+                self.attn_value_channels, 1, 3 * self.edge_channels, gp,
+                self.deterministic, name="force_block",
+            )(x, ctx["nl"], ctx["d_t"], ctx["xe"])
         l1 = f_feat[..., 1:4, 0]  # (y, z, x)
         forces = jnp.stack([l1[..., 2], l1[..., 0], l1[..., 1]], axis=-1)
         forces = forces * batch.node_mask[..., None]

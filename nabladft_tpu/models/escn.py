@@ -391,11 +391,7 @@ class ESCN(nn.Module):
         if pallas_on:
             # dense-pair lattice for the fused kernel, scattered from the
             # SAME top-K neighbor list so both paths see identical graphs
-            onehot = jax.nn.one_hot(nl.idx, a_dim, dtype=jnp.float32)
-            onehot = onehot * nl.mask[..., None]
-            mask_d = jnp.einsum("bakj->baj", onehot)  # [B,A,A] 0/1
-            unit_d = jnp.einsum("bakj,bakx->bajx", onehot, nl.unit)
-            dist_d = jnp.einsum("bakj,bak->baj", onehot, nl.dist)
+            mask_d, unit_d, dist_d = graph.dense_from_neighbor_list(nl, a_dim)
             rot_d = so3.rot_to_z(unit_d)
             dcomp = so3.wigner_trunc_compact_from_rot(rot_d, L, self.m_max)
             dcomp = dcomp * mask_d[..., None]

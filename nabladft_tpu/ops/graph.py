@@ -184,3 +184,19 @@ def edge_rotation_vectors(
     """
     zhat = jnp.zeros_like(unit).at[..., 2].set(1.0)
     return jnp.where(mask[..., None], unit, zhat)
+
+
+def dense_from_neighbor_list(nl: NeighborList, a_dim: int):
+    """Scatter a top-K neighbor list onto the dense [B, A, A] pair lattice.
+
+    Returns (mask_d [B,A,A] float 0/1, unit_d [B,A,A,3], dist_d [B,A,A]).
+    The fused Pallas layer kernels (escn_layer / eqv2_attn) consume dense
+    pair tables; scattering from the SAME top-K list keeps their graphs
+    identical to the XLA paths'.
+    """
+    onehot = jax.nn.one_hot(nl.idx, a_dim, dtype=jnp.float32)
+    onehot = onehot * nl.mask[..., None]
+    mask_d = jnp.einsum("bakj->baj", onehot)
+    unit_d = jnp.einsum("bakj,bakx->bajx", onehot, nl.unit)
+    dist_d = jnp.einsum("bakj,bak->baj", onehot, nl.dist)
+    return mask_d, unit_d, dist_d

@@ -1,0 +1,477 @@
+"""Fused EquiformerV2 SO(2) graph-attention kernel.
+
+Same design as ops/pallas/escn_layer.py (read that header first): one
+pallas_call per (molecule, receiver) runs the whole per-edge attention
+pipeline of SO2GraphAttention in VMEM:
+
+  rotate+truncate src/tgt (compact masked Wigner MACs) -> channel concat
+  -> per-(l,channel) radial scale (computed in-kernel from edge feats)
+  -> SO2 conv 1 (packed complex matmuls, extra m0 alpha/gate scalars)
+  -> separable S2 activation (grid silu on l>0 rows, plain silu gates on
+  the l=0 row) -> SO2 conv 2 -> per-head LayerNorm+silu alpha logits ->
+  masked softmax over neighbors -> value weighting -> rotate back ->
+  neighbor reduction.
+
+Reference semantics: nablaDFT/equiformer_v2/transformer_block.py:22-326;
+math parity vs models/equiformer_v2.SO2GraphAttention is pinned by
+tests/ops/test_eqv2_attn.py. The per-l output projection (node-level)
+stays in XLA.
+
+Alpha dropout: the caller passes a pre-scaled keep mask [B,A,A,NH]
+(1/(1-p) or 0; ones for eval) — RNG stays outside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nabladft_tpu.ops import so3
+from nabladft_tpu.ops.pallas.escn_layer import (
+    F32,
+    _dsilu,
+    _grid_tables,
+    _mdot,
+    _mm_rows,
+    _rotate_fwd,
+    _spans,
+    s_trunc,
+)
+
+
+def attn_fwd_flops(b, a, c2, co, ec, l_max, m_max, n_grid, nh, va) -> int:
+    st = s_trunc(l_max, m_max)
+    rot_macs = sum(
+        (2 * min(l, m_max) + 1) * (2 * l + 1) for l in range(l_max + 1)
+    )
+    n0 = l_max + 1
+    so2_1 = 2 * a * (n0 * c2) * (n0 * co + nh * va + co)
+    so2_2 = 2 * a * (n0 * co) * (n0 * co)
+    for m in range(1, m_max + 1):
+        n_l = l_max + 1 - m
+        so2_1 += 2 * (2 * a) * (n_l * c2) * (2 * n_l * co)
+        so2_2 += 2 * (2 * a) * (n_l * co) * (2 * n_l * co)
+    per = (
+        2 * rot_macs * a * (c2 // 2) * 2          # rotations (src+tgt, C each)
+        + 2 * a * ec * (n0 * c2)                  # radial-scale matmul
+        + so2_1 + so2_2
+        + 2 * 2 * n_grid * st * a * co            # grid act
+        + 2 * a * nh * va * 6                     # LN + alpha dot
+        + 2 * rot_macs * a * co                   # rotate back
+    )
+    return int(b * a * per)
+
+
+def attn_bwd_flops(*args) -> int:
+    return int(2.6 * attn_fwd_flops(*args))
+
+
+def _expanders(nh: int, va: int, co: int):
+    """Static per-head reduce/broadcast matrices (see _attn_pipeline)."""
+    m_avg = np.kron(np.eye(nh, dtype=np.float32),
+                    np.full((va, 1), 1.0 / va, np.float32))
+    m_exp = np.kron(np.eye(nh, dtype=np.float32), np.ones((1, va), np.float32))
+    m_expv = np.kron(np.eye(nh, dtype=np.float32),
+                     np.ones((1, co // nh), np.float32))
+    return jnp.asarray(m_avg), jnp.asarray(m_exp), jnp.asarray(m_expv)
+
+
+# ---------------------------------------------------------------------------
+# pipeline (jnp-traceable; runs inside the kernels and in tests)
+# ---------------------------------------------------------------------------
+
+
+def _so2_eq(flat, c_in, co, w_m0, fcm, l_max, m_max, mxu_bf16):
+    """EqV2 SO2 conv on the m-major flat [A, S_t*c_in].
+    w_m0 [n0*c_in, n0*co + extra]; fcm[m-1] [n_l*c_in, 2*n_l*co] packed
+    (wr | wi). Returns (flat_out [A, S_t*co], extra [A, extra])."""
+    spans = _spans(l_max, m_max)
+    a = flat.shape[0]
+    s0, n0 = spans[0]
+    f0 = jax.lax.slice_in_dim(flat, s0 * c_in, (s0 + n0) * c_in, axis=-1)
+    h0 = _mdot(f0, w_m0, mxu_bf16)
+    if h0.shape[-1] > n0 * co:
+        out0 = jax.lax.slice_in_dim(h0, 0, n0 * co, axis=-1)
+        extra = jax.lax.slice_in_dim(h0, n0 * co, h0.shape[-1], axis=-1)
+    else:
+        out0, extra = h0, None
+    parts = [out0]
+    for m in range(1, m_max + 1):
+        sp, n_l = spans[2 * m - 1]
+        sm, _ = spans[2 * m]
+        fp = jax.lax.slice_in_dim(flat, sp * c_in, (sp + n_l) * c_in, axis=-1)
+        fm = jax.lax.slice_in_dim(flat, sm * c_in, (sm + n_l) * c_in, axis=-1)
+        both = jnp.concatenate([fp, fm], axis=0)  # [2A, n_l*c_in]
+        o = _mdot(both, fcm[m - 1], mxu_bf16)  # [2A, 2*n_l*co]
+        o_r = jax.lax.slice_in_dim(o, 0, n_l * co, axis=-1)
+        o_i = jax.lax.slice_in_dim(o, n_l * co, 2 * n_l * co, axis=-1)
+        rp = jax.lax.slice_in_dim(o_r, 0, a, axis=0)
+        rm = jax.lax.slice_in_dim(o_r, a, 2 * a, axis=0)
+        ip = jax.lax.slice_in_dim(o_i, 0, a, axis=0)
+        im = jax.lax.slice_in_dim(o_i, a, 2 * a, axis=0)
+        parts.append(rp - im)
+        parts.append(rm + ip)
+    return jnp.concatenate(parts, axis=-1), extra
+
+
+def _attn_pipeline(x, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2,
+                   fc2m, ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv,
+                   *, l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
+    """Per-receiver attention message. x [S,A,C]; xi [S,C]; d [A,K] masked;
+    xe [A,EC3]; maskf [A,1] float; dropk [A,NH]; w_rad [EC3,(L+1)*2C];
+    w1 [n0*2C, n0*co+nh*va+co]; fc1m[m] [n_l*2C, 2 n_l co];
+    w2 [n0*co, n0*co]; fc2m[m] [n_l*co, 2 n_l co];
+    ln_scale/ln_bias [1, NH*va] PRE-TILED per head; alpha_dot [1, NH*va]
+    lane-major; m_avg [NH*va, NH] (1/va group-average), m_exp [NH, NH*va]
+    and m_expv [NH, co] (0/1 group expanders) — per-head reductions and
+    broadcasts run as matmuls because Mosaic cannot broadcast offset-lane
+    row vectors. Returns agg [S, co]."""
+    rows = _mm_rows(l_max, m_max)
+    st = len(rows)
+    s_full = (l_max + 1) ** 2
+    a = x.shape[1]
+
+    xs_rows = [x[s] for s in range(s_full)]
+    xi_rows = [jax.lax.slice_in_dim(xi, s, s + 1, axis=0) for s in range(s_full)]
+    src, tgt = _rotate_fwd(xs_rows, xi_rows, d, l_max, m_max)
+    # radial scale, shared over m within each l (rotation-commuting)
+    rad = _mdot(xe, w_rad, mxu_bf16) + b_rad  # [A, (L+1)*2C]
+    c2 = 2 * c
+    flat_parts = []
+    for r, (l, m) in enumerate(rows):
+        rr = jax.lax.slice_in_dim(rad, l * c2, (l + 1) * c2, axis=-1)
+        blk = jnp.concatenate([src[r], tgt[r]], axis=-1) * rr  # [A, 2C]
+        flat_parts.append(blk)
+    flat = jnp.concatenate(flat_parts, axis=-1)  # [A, S_t*2C]
+
+    hidden, extra = _so2_eq(flat, c2, co, w1, fc1m, l_max, m_max, mxu_bf16)
+    alpha_scal = jax.lax.slice_in_dim(extra, 0, nh * va, axis=-1)
+    gate_scal = jax.lax.slice_in_dim(extra, nh * va, nh * va + co, axis=-1)
+
+    # separable S2 act: grid silu on rows 1..St-1, plain silu gates on row 0
+    to_g, from_g = _grid_tables(l_max, m_max, n_grid)
+    blocks = [
+        jax.lax.slice_in_dim(hidden, r * co, (r + 1) * co, axis=-1)
+        for r in range(st)
+    ]
+    gps = []
+    for p in range(to_g.shape[0]):
+        acc = None
+        for s in range(st):
+            w = float(to_g[p, s])
+            if w == 0.0:
+                continue
+            t = w * blocks[s]
+            acc = t if acc is None else acc + t
+        gps.append(jax.nn.silu(acc))
+    acted = []
+    for s in range(st):
+        acc = None
+        for p in range(len(gps)):
+            w = float(from_g[s, p])
+            if w == 0.0:
+                continue
+            t = w * gps[p]
+            acc = t if acc is None else acc + t
+        acted.append(acc)
+    acted[0] = jax.nn.silu(gate_scal)
+    hidden2 = jnp.concatenate(acted, axis=-1)
+
+    values, _ = _so2_eq(hidden2, co, co, w2, fc2m, l_max, m_max, mxu_bf16)
+
+    # attention: per-head LN + silu + dot — group reductions/broadcasts as
+    # matmuls (full-width, lane-offset 0), masked softmax over neighbors
+    ah = alpha_scal.astype(F32)  # [A, NH*va]
+    mu = _mdot(_mdot(ah, m_avg, False), m_exp, False)  # per-head mean, tiled
+    cen = ah - mu
+    var = _mdot(_mdot(cen * cen, m_avg, False), m_exp, False)
+    ln = cen * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+    act = jax.nn.silu(ln)
+    logits = _mdot(act * alpha_dot, m_avg, False) * float(va)  # group sums
+    neg = jnp.float32(-1e9)
+    logits = jnp.where(maskf > 0.5, logits, neg)
+    lmax_ = jnp.max(logits, axis=0, keepdims=True)
+    ex = jnp.exp(logits - lmax_) * jnp.where(maskf > 0.5, 1.0, 0.0)
+    alpha = ex / jnp.maximum(jnp.sum(ex, axis=0, keepdims=True), 1e-20)
+    alpha = alpha * dropk  # pre-scaled keep mask
+
+    # expand alpha [A,NH] -> [A,co] (vc lanes per head) via the 0/1 matmul
+    aexp = _mdot(alpha, m_expv, False)  # [A, co]
+    vblocks = [
+        jax.lax.slice_in_dim(values, r * co, (r + 1) * co, axis=-1) * aexp
+        for r in range(st)
+    ]
+
+    # rotate back + reduce
+    offs, _ = so3.trunc_compact_layout(l_max, m_max)
+    out_rows: List = [None] * s_full
+    for r, (l, m) in enumerate(rows):
+        mc = min(l, m_max)
+        mrow = m + mc
+        for col in range(2 * l + 1):
+            idx = offs[l] + mrow * (2 * l + 1) + col
+            dc = jax.lax.slice_in_dim(d, idx, idx + 1, axis=-1)
+            t = dc * vblocks[r]
+            s = l * l + col
+            out_rows[s] = t if out_rows[s] is None else out_rows[s] + t
+    reduced = [jnp.sum(rw, axis=0, keepdims=True) for rw in out_rows]
+    return jnp.concatenate(reduced, axis=0)  # [S, co]
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+_N_W = 9  # w_rad, b_rad, w1, w2, ln_scale, ln_bias, alpha_dot + per-m lists
+
+
+def _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m, ln_scale, ln_bias,
+                 alpha_dot, m_avg, m_exp, m_expv):
+    mats = [w_rad, b_rad, w1, w2, ln_scale, ln_bias, alpha_dot,
+            m_avg, m_exp, m_expv]
+    mats += list(fc1m) + list(fc2m)
+    return mats
+
+
+N_FIXED_W = 10
+
+
+def _unpack_weights(refs, m_max):
+    (w_rad, b_rad, w1, w2, ln_s, ln_b, adot, m_avg, m_exp, m_expv) = (
+        r[:] for r in refs[:N_FIXED_W]
+    )
+    fc1m = [refs[N_FIXED_W + m][:] for m in range(m_max)]
+    fc2m = [refs[N_FIXED_W + m_max + m][:] for m in range(m_max)]
+    return (w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot,
+            m_avg, m_exp, m_expv)
+
+
+def _fwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
+                l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
+    n_w = N_FIXED_W + 2 * m_max
+    wrefs = refs[:n_w]
+    out_ref = refs[n_w]
+    (w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot, m_avg, m_exp,
+     m_expv) = _unpack_weights(wrefs, m_max)
+    out = _attn_pipeline(
+        x_ref[0], xi_ref[0, 0], d_ref[0, 0], xe_ref[0, 0],
+        mask_ref[0, 0], drop_ref[0, 0],
+        w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot,
+        m_avg, m_exp, m_expv,
+        l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
+        n_grid=n_grid, mxu_bf16=mxu_bf16,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
+             l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16):
+    b, s, a, _ = x.shape
+    k = d.shape[-1]
+    ec = xe.shape[-1]
+    specs = [
+        pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
+        for w in mats
+    ]
+    kern = functools.partial(
+        _fwd_kernel, l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
+        n_grid=n_grid, mxu_bf16=mxu_bf16,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, a),
+        in_specs=[
+            pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, 1, s, c), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, k), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, dropk.shape[-1]),
+                         lambda bb, ii: (bb, ii, 0, 0)),
+            *specs,
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, co), lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, a, s, co), F32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=attn_fwd_flops(b, a, 2 * c, co, ec, l_max, m_max, n_grid,
+                                 nh, va),
+            bytes_accessed=4 * (x.size + d.size + xe.size + b * a * s * co),
+            transcendentals=b * a * a * (40 * co + nh * va),
+        ),
+        interpret=interpret,
+    )(x, x_asc, d, xe, maskf, dropk, *mats)
+
+
+def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
+                l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
+    n_w = N_FIXED_W + 2 * m_max
+    wrefs = refs[:n_w]
+    g_ref = refs[n_w]
+    outs = refs[n_w + 1 :]
+    gx_ref, gxi_ref, gxe_ref = outs[0], outs[1], outs[2]
+    gw_refs = outs[3:]
+    (w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot, m_avg, m_exp,
+     m_expv) = _unpack_weights(wrefs, m_max)
+    b_idx, i_idx = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b_idx == 0, i_idx == 0))
+    def _init_w():
+        for r in gw_refs:
+            r[...] = jnp.zeros_like(r)
+
+    @pl.when(i_idx == 0)
+    def _init_x():
+        gx_ref[...] = jnp.zeros_like(gx_ref)
+
+    d_val = d_ref[0, 0]
+    maskf = mask_ref[0, 0]
+    dropk = drop_ref[0, 0]
+
+    def f(x, xi, xe, w_rad_, b_rad_, w1_, w2_, ln_s_, ln_b_, adot_, *fcms):
+        fc1m_ = list(fcms[:m_max])
+        fc2m_ = list(fcms[m_max:])
+        return _attn_pipeline(
+            x, xi, d_val, xe, maskf, dropk,
+            w_rad_, b_rad_, w1_, fc1m_, w2_, fc2m_, ln_s_, ln_b_, adot_,
+            m_avg, m_exp, m_expv,
+            l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
+            n_grid=n_grid, mxu_bf16=mxu_bf16,
+        )
+
+    args = (x_ref[0], xi_ref[0, 0], xe_ref[0, 0], w_rad, b_rad, w1, w2,
+            ln_s, ln_b, adot, *fc1m, *fc2m)
+    _, vjp = jax.vjp(f, *args)
+    grads = vjp(g_ref[0, 0].astype(F32))
+    (gx, gxi, gxe, g_wrad, g_brad, g_w1, g_w2, g_lns, g_lnb, g_adot,
+     *g_fcm) = grads
+    gx_ref[0] += gx.astype(gx_ref.dtype)
+    gxi_ref[0, 0] = gxi.astype(gxi_ref.dtype)
+    gxe_ref[0, 0] = gxe.astype(gxe_ref.dtype)
+    # accumulation order must match _weight_list:
+    # [w_rad, b_rad, w1, w2, ln_s, ln_b, adot, m_avg, m_exp, m_expv,
+    #  fc1m..., fc2m...]; the static expander matrices get zero grads
+    ordered = [g_wrad, g_brad, g_w1, g_w2, g_lns, g_lnb, g_adot,
+               jnp.zeros_like(m_avg), jnp.zeros_like(m_exp),
+               jnp.zeros_like(m_expv), *g_fcm]
+    for ref, gval in zip(gw_refs, ordered):
+        ref[...] += gval.astype(ref.dtype)
+
+
+def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
+             l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16):
+    b, s, a, _ = x.shape
+    k = d.shape[-1]
+    ec = xe.shape[-1]
+    specs = [
+        pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
+        for w in mats
+    ]
+    kern = functools.partial(
+        _bwd_kernel, l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
+        n_grid=n_grid, mxu_bf16=mxu_bf16,
+    )
+    out_specs = [
+        pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, 1, s, c), lambda bb, ii: (bb, ii, 0, 0)),
+        pl.BlockSpec((1, 1, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+        *specs,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s, a, c), F32),
+        jax.ShapeDtypeStruct((b, a, s, c), F32),
+        jax.ShapeDtypeStruct((b, a, a, ec), F32),
+        *[jax.ShapeDtypeStruct(w.shape, F32) for w in mats],
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(b, a),
+        in_specs=[
+            pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, 1, s, c), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, k), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, a, dropk.shape[-1]),
+                         lambda bb, ii: (bb, ii, 0, 0)),
+            *specs,
+            pl.BlockSpec((1, 1, s, co), lambda bb, ii: (bb, ii, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=attn_bwd_flops(b, a, 2 * c, co, ec, l_max, m_max, n_grid,
+                                 nh, va),
+            bytes_accessed=4 * (2 * x.size + d.size + 2 * xe.size
+                                + b * a * s * (c + co)),
+            transcendentals=2 * b * a * a * (40 * co + nh * va),
+        ),
+        interpret=interpret,
+    )(x, x_asc, d, xe, maskf, dropk, *mats, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def eqv2_attention_vjp(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
+                       x_sm, x_asc, d, xe, maskf, dropk,
+                       w_rad, b_rad, w1, fc1m, w2, fc2m,
+                       ln_scale, ln_bias, alpha_dot):
+    """Fused EqV2 SO(2) graph attention with custom VJP.
+
+    d / maskf / dropk are non-differentiable (direct forces; dropout mask
+    is sampled outside). Returns agg [B, A, S, co].
+    """
+    c = x_sm.shape[-1]
+    co = w2.shape[-1] // (l_max + 1)
+    m_avg, m_exp, m_expv = _expanders(nh, va, co)
+    mats = _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m,
+                        ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv)
+    return _run_fwd(x_sm, x_asc, d, xe, maskf, dropk, mats,
+                    l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16)
+
+
+def _attn_fwd(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
+              x_sm, x_asc, d, xe, maskf, dropk,
+              w_rad, b_rad, w1, fc1m, w2, fc2m, ln_scale, ln_bias, alpha_dot):
+    out = eqv2_attention_vjp(
+        l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
+        x_sm, x_asc, d, xe, maskf, dropk,
+        w_rad, b_rad, w1, fc1m, w2, fc2m, ln_scale, ln_bias, alpha_dot,
+    )
+    return out, (x_sm, x_asc, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m,
+                 w2, fc2m, ln_scale, ln_bias, alpha_dot)
+
+
+def _attn_bwd(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va, res, g):
+    (x_sm, x_asc, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2, fc2m,
+     ln_scale, ln_bias, alpha_dot) = res
+    c = x_sm.shape[-1]
+    co = w2.shape[-1] // (l_max + 1)
+    m_avg, m_exp, m_expv = _expanders(nh, va, co)
+    mats = _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m,
+                        ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv)
+    outs = _run_bwd(x_sm, x_asc, d, xe, maskf, dropk, mats, g.astype(F32),
+                    l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16)
+    gx, gxi, gxe = outs[0], outs[1], outs[2]
+    gw = outs[3:]
+    m_max_ = len(fc1m)
+    (g_wrad, g_brad, g_w1, g_w2, g_lns, g_lnb, g_adot) = gw[:7]
+    # slots 7..9 are the static expander matrices (zero grads, discarded)
+    g_fc1m = list(gw[10 : 10 + m_max_])
+    g_fc2m = list(gw[10 + m_max_ : 10 + 2 * m_max_])
+    return (gx, gxi, jnp.zeros_like(d), gxe, jnp.zeros_like(maskf),
+            jnp.zeros_like(dropk), g_wrad, g_brad, g_w1, g_fc1m, g_w2,
+            g_fc2m, g_lns, g_lnb, g_adot)
+
+
+eqv2_attention_vjp.defvjp(_attn_fwd, _attn_bwd)
