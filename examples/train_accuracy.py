@@ -120,8 +120,11 @@ def main():
         ds = EnergyDataset(local_db)
         idx = seeded_random_split(len(ds), [0.8, 0.1, 0.1], seed=7)
         train_idx, val_idx, test_idx = idx
-        dm = SplitModule(ds, train_idx, val_idx, batch_size=32)
-        test_loader = BucketedLoader(ds, test_idx, LoaderConfig(batch_size=32))
+        # dimenetpp's dense triplet lattice under reverse-over-reverse
+        # derivative forces needs ~0.7 GB/conformer of HBM
+        bs = 8 if args.model == "dimenetpp" else 32
+        dm = SplitModule(ds, train_idx, val_idx, batch_size=bs)
+        test_loader = BucketedLoader(ds, test_idx, LoaderConfig(batch_size=bs))
         split_name = "fixture-100 (80/10/10)"
         n_train = len(train_idx)
     else:

@@ -360,6 +360,9 @@ class EquiformerV2(nn.Module):
     deterministic: bool = True
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # per-atom energy standardization (reference AddOffsets analog)
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
     # fused Pallas attention kernel (ops/pallas/eqv2_attn); "auto" = on
     # for TPU. NOTE: different parameter layout than the XLA path.
     use_pallas: Union[bool, str] = "auto"
@@ -465,7 +468,7 @@ class EquiformerV2(nn.Module):
 
         # energy head: FFN on node features, l=0 output
         e_feat = GridFFN(L, self.ffn_hidden_channels, 1, gp, name="energy_ffn")(x)
-        node_e = e_feat[..., 0, 0]
+        node_e = e_feat[..., 0, 0] * self.energy_std + self.energy_mean
         energy = jnp.sum(jnp.where(batch.node_mask, node_e, 0.0), axis=1)
 
         # force head: 1-channel attention block, take l=1 (order y,z,x)

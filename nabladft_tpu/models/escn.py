@@ -363,6 +363,9 @@ class ESCN(nn.Module):
     grid_points_factor: int = 2
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # per-atom energy standardization (reference AddOffsets analog)
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
     # fused Pallas message-layer kernel (ops/pallas/escn_layer): the XLA
     # formulation is bandwidth-bound (<10% MFU) on its [E,·,C] HBM
     # intermediates. "auto" = on for TPU, XLA path on CPU (interpret-mode
@@ -445,6 +448,7 @@ class ESCN(nn.Module):
         h = jax.nn.silu(nn.Dense(C, name="energy_fc2")(h))
         h = nn.Dense(1, use_bias=False, name="energy_fc3")(h)[..., 0]  # [B,A,P]
         node_energy = h.mean(axis=-1) * 0.001  # reference energy scale
+        node_energy = node_energy * self.energy_std + self.energy_mean
         energy = jnp.sum(jnp.where(batch.node_mask, node_energy, 0.0), axis=1)
 
         f = jax.nn.silu(nn.Dense(C, name="force_fc1")(x_pt))

@@ -312,6 +312,9 @@ class GemNetOC(nn.Module):
     forces_coupled: bool = True
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # per-atom energy standardization (reference AddOffsets analog)
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
 
     derivative_forces = False  # direct forces (config direct_forces: true)
 
@@ -456,6 +459,7 @@ class GemNetOC(nn.Module):
         for i in range(self.num_global_out_layers):
             e = jax.nn.silu(nn.Dense(self.emb_size_atom, use_bias=False, name=f"out_e_{i}")(e))
         e_atom = nn.Dense(1, use_bias=False, name="energy_out")(e)[..., 0]
+        e_atom = e_atom * self.energy_std + self.energy_mean
         energy = jnp.sum(jnp.where(batch.node_mask, e_atom, 0.0), axis=1)
 
         # direct forces with optional coupling symmetrization

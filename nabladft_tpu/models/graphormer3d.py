@@ -134,6 +134,9 @@ class Graphormer3D(nn.Module):
     deterministic: bool = True
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # per-atom energy standardization (reference AddOffsets analog)
+    energy_mean: float = 0.0
+    energy_std: float = 1.0
 
     derivative_forces = False  # direct force head
 
@@ -191,6 +194,7 @@ class Graphormer3D(nn.Module):
             3, 1, embedding_init=nn.initializers.normal(0.01), name="energy_agg_factor"
         )(tags)[..., 0]
         e_atom = e * agg * batch.node_mask
+        e_atom = e_atom * self.energy_std + self.energy_mean
         energy = e_atom.sum(axis=1)
 
         forces = NodeForceHead(
