@@ -1,4 +1,4 @@
-"""Accuracy-parity experiment: train SchNet / PaiNN on real nablaDFT data.
+"""Accuracy-parity experiment: train the energy zoo on real nablaDFT data.
 
 With network egress this trains on the published `dataset_train_tiny` split
 (2k conformers) and evaluates against the README MAE tables
@@ -9,7 +9,7 @@ fixture DB (real DFT labels, tests/data/raw/test_database.db) with an
 80/10/10 split — a learnability datapoint, not split parity; the gap
 analysis lives in STATUS.md.
 
-Usage: python examples/train_accuracy.py [--model schnet|painn] [--out FILE]
+Usage: python examples/train_accuracy.py [--model <any energy model>] [--out FILE]
 """
 
 from __future__ import annotations
@@ -120,9 +120,10 @@ def main():
         ds = EnergyDataset(local_db)
         idx = seeded_random_split(len(ds), [0.8, 0.1, 0.1], seed=7)
         train_idx, val_idx, test_idx = idx
-        # dimenetpp's dense triplet lattice under reverse-over-reverse
-        # derivative forces needs ~0.7 GB/conformer of HBM
-        bs = 8 if args.model == "dimenetpp" else 32
+        # memory-bound models: dimenetpp's dense triplet lattice under
+        # reverse-over-reverse forces; gemnet_oc's quadruplets at the
+        # fixture's 64-atom bucket
+        bs = {"dimenetpp": 8, "gemnet_oc": 16}.get(args.model, 32)
         dm = SplitModule(ds, train_idx, val_idx, batch_size=bs)
         test_loader = BucketedLoader(ds, test_idx, LoaderConfig(batch_size=bs))
         split_name = "fixture-100 (80/10/10)"
