@@ -70,16 +70,18 @@ ZOO_BENCH = {
     "schnet": dict(
         batch=256,
         anchor=2000.0,  # lightest reference model
-        force_grads="surrogate",
+        force_grads="pallas",  # fused dual-number cfconv kernels
         kwargs=dict(
             hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
-            max_neighbors=40, compute_dtype="bfloat16",
+            max_neighbors=40, compute_dtype="bfloat16", use_pallas="fused",
+            remat=False,
         ),
     ),
     "dimenetpp": dict(
-        batch=8,  # the dense [B,A,K,K] triplet lattice under
-        # reverse-over-reverse derivative forces is the memory wall
-        # (47 GB at B=64); B=8 fits the 16 GB chip
+        # fused triplet kernels (ops/pallas/dimenet_triplet): the
+        # [B,A,K,K,int_emb] lattice lives only in VMEM, so the r2 B=8
+        # memory wall is gone
+        batch=32,
         anchor=250.0,  # triplet message passing
         kwargs=dict(compute_dtype="bfloat16"),
     ),
@@ -201,6 +203,20 @@ def bench_qhnet() -> None:
     print(json.dumps(out))
 
 
+def _timed_steps(trainer, state, batch, n=10, repeats=3):
+    """Median-of-`repeats` per-step time (s). One point sample is unreliable
+    on the fractional tunneled chip (measured peak varied 23-257 TFLOP/s
+    across a day — STATUS r2 gap 7)."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = trainer._jit_train_step(state, batch)
+        float(metrics["train/total"])  # host fetch: guarantees completion
+        times.append((time.perf_counter() - t0) / n)
+    return float(np.median(times)), state
+
+
 def bench_zoo(name: str) -> None:
     """Training-step throughput for the wider zoo at reference capacity.
 
@@ -230,23 +246,18 @@ def bench_zoo(name: str) -> None:
     for _ in range(WARMUP):
         state, metrics = trainer._jit_train_step(state, batch)
     float(metrics["train/total"])
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = trainer._jit_train_step(state, batch)
-    float(metrics["train/total"])
-    dt = time.perf_counter() - t0
-    per_chip = spec["batch"] * n / dt / n_chips
+    step_s, state = _timed_steps(trainer, state, batch)
+    per_chip = spec["batch"] / step_s / n_chips
     out = {
         "metric": f"{name}_train_conformers_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "conformers/s/chip",
         "vs_baseline": round(per_chip / spec["anchor"], 3),
-        "step_ms": round(dt / n * 1e3, 1),
+        "step_ms": round(step_s * 1e3, 1),
     }
     if flops:
         peak = measured_peak_flops("bfloat16")
-        out["mfu_vs_measured_bf16_peak"] = round(flops / (dt / n) / peak, 4)
+        out["mfu_vs_measured_bf16_peak"] = round(flops / step_s / peak, 4)
     print(json.dumps(out))
 
 
@@ -274,38 +285,70 @@ def main() -> None:
         state, metrics = trainer._jit_train_step(state, batch)
     float(metrics["train/total"])
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = trainer._jit_train_step(state, batch)
-    float(metrics["train/total"])  # host fetch: block_until_ready alone does
-    # not guarantee completion through tunneled device backends
-    dt = time.perf_counter() - t0
-
-    conf_per_sec = BATCH * STEPS / dt
-    per_chip = conf_per_sec / n_chips
+    step_s, state = _timed_steps(trainer, state, batch, n=STEPS)
+    per_chip = BATCH / step_s / n_chips
     out = {
         "metric": "painn_train_conformers_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "conformers/s/chip",
         "vs_baseline": round(per_chip / A100_REFERENCE_CONFORMERS_PER_SEC, 3),
-        "step_ms": round(dt / STEPS * 1e3, 1),
+        "step_ms": round(step_s * 1e3, 1),
     }
     flops = _step_flops(trainer, state, batch)
     if flops:
         from nabladft_tpu.train.profiling import measured_peak_flops
 
         peak = measured_peak_flops("bfloat16")
-        out["mfu_vs_measured_bf16_peak"] = round(flops / (dt / STEPS) / peak, 4)
+        out["mfu_vs_measured_bf16_peak"] = round(flops / step_s / peak, 4)
     print(json.dumps(out))
+
+
+def run_all() -> None:
+    """Default driver artifact: the headline PaiNN line FIRST (the driver
+    records line one in BENCH_r{N}.json), then one JSON line per zoo model
+    + QHNet so the full table lands in the round log (VERDICT r2 item 7).
+    Each model runs in a subprocess: one model's OOM/compile failure (or
+    leftover HBM fragmentation) must not poison the others."""
+    import subprocess
+    import sys
+
+    print_order = ["painn", *sorted(ZOO_BENCH), "qhnet"]
+    for name in print_order:
+        try:
+            res = subprocess.run(
+                [sys.executable, __file__, "--model", name],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = None
+            for ln in (res.stdout or "").splitlines():
+                if ln.startswith("{"):
+                    line = ln
+            if line:
+                print(line, flush=True)
+            else:
+                print(json.dumps({
+                    "metric": f"{name}_train_conformers_per_sec_per_chip",
+                    "value": None, "unit": "conformers/s/chip",
+                    "vs_baseline": None,
+                    "error": (res.stderr or "no output")[-400:],
+                }), flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "metric": f"{name}_train_conformers_per_sec_per_chip",
+                "value": None, "unit": "conformers/s/chip",
+                "vs_baseline": None, "error": "timeout",
+            }), flush=True)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--model", default="painn", choices=["painn", "qhnet", *ZOO_BENCH],
+        "--model", default=None, choices=["painn", "qhnet", "all", *ZOO_BENCH],
     )
     args = ap.parse_args()
-    if args.model == "qhnet":
+    if args.model in (None, "all"):
+        run_all()
+    elif args.model == "qhnet":
         bench_qhnet()
     elif args.model in ZOO_BENCH:
         bench_zoo(args.model)

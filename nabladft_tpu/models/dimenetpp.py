@@ -16,6 +16,8 @@ host-precomputed triplet index arrays. Interaction blocks are wrapped in
 
 from __future__ import annotations
 
+from typing import Union
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -52,6 +54,7 @@ class InteractionPPBlock(nn.Module):
     num_before_skip: int
     num_after_skip: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, m, rbf, sbf, nl: graph.NeighborList, trip_mask):
@@ -64,15 +67,29 @@ class InteractionPPBlock(nn.Module):
         )
         x_kj = x_kj * rbf_w
         x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, dtype=dt)(x_kj))
-        # gather messages of edges (k->j) for each edge (j->i)
-        t = graph.gather_neighbor_edges(x_kj, nl.idx)  # [B,A,K,K,E]
-        sbf_w = nn.Dense(self.int_emb_size, use_bias=False, dtype=dt)(
-            nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt)(sbf)
+        # triplet aggregation: agg[.. k, e] =
+        #   Σ_{k2,c} s8[.. k, k2, c] · w2[c, e] · x_kj[b, idx[.. k], k2, e]
+        # Both paths share this parameterization (identical checkpoint
+        # layout); s8 inherits the trip_mask zeros from sbf, so invalid
+        # triplets contribute nothing without explicit masks.
+        s8 = nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt,
+                      name="sbf1")(sbf)
+        w2 = self.param(
+            "sbf2_kernel", nn.initializers.lecun_normal(),
+            (self.basis_emb_size, self.int_emb_size),
         )
-        agg = jnp.sum(
-            jnp.where(trip_mask[..., None], t * sbf_w, 0.0), axis=3
-        )  # [B,A,K,E]
-        x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt)(agg))
+        if self.use_pallas:
+            from nabladft_tpu.ops.pallas.dimenet_triplet import triplet_agg
+
+            agg = triplet_agg(s8, x_kj, w2, nl.idx)  # [B,A,K,E] fp32
+        else:
+            # gather messages of edges (k->j) for each edge (j->i)
+            t = graph.gather_neighbor_edges(x_kj, nl.idx)  # [B,A,K,K,E]
+            sbf_w = jnp.einsum("bakqc,ce->bakqe", s8, w2.astype(dt))
+            agg = jnp.sum(
+                jnp.where(trip_mask[..., None], t * sbf_w, 0.0), axis=3
+            )  # [B,A,K,E]
+        x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt)(agg.astype(dt)))
 
         h = x_ji + x_kj
         for _ in range(self.num_before_skip):
@@ -124,8 +141,18 @@ class DimeNetPP(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # fused triplet-aggregation kernels (ops/pallas/dimenet_triplet): the
+    # [B,A,K,K,int_emb] lattice never hits HBM; differentiable to all
+    # orders (mutually-recursive custom VJPs), so reverse-over-reverse
+    # forces work. "auto" = on for TPU. Same param layout as the XLA path.
+    use_pallas: Union[bool, str] = "auto"
 
     derivative_forces = True
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(self.use_pallas)
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
@@ -159,11 +186,12 @@ class DimeNetPP(nn.Module):
             self.num_output_layers, dtype=cdt, name="output_0",
         )(m, rbf, nl)
         block_cls = nn.remat(InteractionPPBlock) if self.remat else InteractionPPBlock
+        pallas_on = self._pallas_enabled()
         for b in range(self.num_blocks):
             m = block_cls(
                 self.hidden, self.int_emb_size, self.basis_emb_size,
                 self.num_before_skip, self.num_after_skip, dtype=cdt,
-                name=f"interaction_{b}",
+                use_pallas=pallas_on, name=f"interaction_{b}",
             )(m, rbf, sbf, nl, trip_mask)
             p = p + OutputPPBlock(
                 self.hidden, self.out_emb_channels, self.node_latent_dim,

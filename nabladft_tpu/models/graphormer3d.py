@@ -193,8 +193,11 @@ class Graphormer3D(nn.Module):
         agg = nn.Embed(
             3, 1, embedding_init=nn.initializers.normal(0.01), name="energy_agg_factor"
         )(tags)[..., 0]
-        e_atom = e * agg * batch.node_mask
-        e_atom = e_atom * self.energy_std + self.energy_mean
+        # Standardize FIRST, mask SECOND: masking before adding energy_mean
+        # would add (A - n_atoms) * energy_mean from padded slots to the
+        # molecular sum (per-atom DFT means are ~-10^1 Eh, so this dominated
+        # the prediction for any padded batch).
+        e_atom = (e * agg * self.energy_std + self.energy_mean) * batch.node_mask
         energy = e_atom.sum(axis=1)
 
         forces = NodeForceHead(

@@ -45,17 +45,8 @@ from nabladft_tpu.ops.pallas.painn_fused import (
     painn_message_reference,
     painn_message_train,
 )
+from nabladft_tpu.ops.graph import dense_topk_mask  # noqa: F401  (re-export)
 from nabladft_tpu.ops.segment import masked_sum
-
-
-def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Restrict a dense adjacency to each row's k nearest neighbors."""
-    a = dist.shape[-1]
-    if k >= a:
-        return adj
-    neg = jnp.where(adj, -dist, -jnp.inf)
-    kth = jax.lax.top_k(neg, k)[0][..., -1:]  # [B,A,1] k-th smallest distance
-    return adj & (dist <= -kth + 1e-7)
 
 
 class PaiNNMessage(nn.Module):

@@ -85,15 +85,16 @@ def convert_schnet(state: Dict[str, np.ndarray], params: Dict) -> Dict:
     n_keys = len([k for k in state if k.startswith(pre + "interactions")])
     for i in range(n_keys // 9):  # 9 tensors per schnetpack SchNetInteraction
         b = f"{pre}interactions.{i}."
-        _fill(p, f"filter_{i}_0/kernel", _t(state[b + "filter_network.0.weight"]))
-        _fill(p, f"filter_{i}_0/bias", state[b + "filter_network.0.bias"])
-        _fill(p, f"filter_{i}_1/kernel", _t(state[b + "filter_network.1.weight"]))
-        _fill(p, f"filter_{i}_1/bias", state[b + "filter_network.1.bias"])
-        _fill(p, f"interaction_{i}/Dense_0/kernel", _t(state[b + "in2f.weight"]))
-        _fill(p, f"interaction_{i}/Dense_1/kernel", _t(state[b + "f2out.0.weight"]))
-        _fill(p, f"interaction_{i}/Dense_1/bias", state[b + "f2out.0.bias"])
-        _fill(p, f"interaction_{i}/Dense_2/kernel", _t(state[b + "f2out.1.weight"]))
-        _fill(p, f"interaction_{i}/Dense_2/bias", state[b + "f2out.1.bias"])
+        # filter MLP lives as raw arrays (shared XLA/Pallas layout)
+        _fill(p, f"filter_{i}_w1", _t(state[b + "filter_network.0.weight"]))
+        _fill(p, f"filter_{i}_b1", state[b + "filter_network.0.bias"][None, :])
+        _fill(p, f"filter_{i}_w2", _t(state[b + "filter_network.1.weight"]))
+        _fill(p, f"filter_{i}_b2", state[b + "filter_network.1.bias"][None, :])
+        _fill(p, f"in2f_{i}/kernel", _t(state[b + "in2f.weight"]))
+        _fill(p, f"f2out_{i}_0/kernel", _t(state[b + "f2out.0.weight"]))
+        _fill(p, f"f2out_{i}_0/bias", state[b + "f2out.0.bias"])
+        _fill(p, f"f2out_{i}_1/kernel", _t(state[b + "f2out.1.weight"]))
+        _fill(p, f"f2out_{i}_1/bias", state[b + "f2out.1.bias"])
     out_pre = "model.output_modules.0.outnet."
     _fill(p, "atomwise/Dense_0/kernel", _t(state[out_pre + "0.weight"]))
     _fill(p, "atomwise/Dense_0/bias", state[out_pre + "0.bias"])

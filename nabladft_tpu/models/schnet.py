@@ -5,14 +5,21 @@ schnetpack (config/model/schnet.yaml: 6 interactions, 128 atom basis,
 GaussianRBF(100), CosineCutoff(5.0), Atomwise energy head + derivative
 forces + AddOffsets postprocessor).
 
-Design: the neighbor dimension is a static K axis; the continuous-filter
-convolution is an elementwise product on [B, A, K, F] followed by a masked
-sum over K — XLA fuses the RBF → filter-MLP → gather → multiply → reduce
-chain into a handful of MXU/VPU kernels, nothing is scatter-bound.
+Design: DENSE pair formulation — at nablaDFT sizes (A<=62) the dense A×A
+lattice is smaller than the reference's K=63 neighbor list and every step
+is a batched matmul; the strict top-k neighbor cap is a dense mask
+(ops.graph.dense_topk_mask), and the cutoff envelope folds the adjacency.
+The per-pair pipeline (filter MLP -> envelope -> convolve -> reduce) runs
+either in XLA (use_pallas="off", any-order AD) or inside fused Pallas
+kernels (ops/pallas/schnet_fused): "fused" = custom-VJP kernels for
+first-order paths (forces, relaxation), "train" = custom-JVP dual kernels
+for the engine's surrogate force-gradient pass (force_grads="pallas").
+All modes share ONE parameter layout.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -20,23 +27,13 @@ from nabladft_tpu.data.atomref import atomrefs_for
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import MLP, ModelOutput, register_model, shifted_softplus
 from nabladft_tpu.ops import graph, radial
+from nabladft_tpu.ops.graph import dense_topk_mask
+from nabladft_tpu.ops.pallas.schnet_fused import (
+    schnet_message,
+    schnet_message_reference,
+    schnet_message_train,
+)
 from nabladft_tpu.ops.segment import masked_sum
-
-
-class SchNetInteraction(nn.Module):
-    hidden: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, nl: graph.NeighborList, filters) -> jnp.ndarray:
-        # in2f -> gather neighbors -> filter product -> aggregate -> f2out
-        xin = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(x)  # [B,A,F]
-        xj = graph.gather_nodes(xin, nl.idx)  # [B,A,K,F]
-        msg = masked_sum(xj * filters, nl.mask, axis=2).astype(self.dtype)  # [B,A,F]
-        out = nn.Dense(self.hidden, dtype=self.dtype)(msg)
-        out = shifted_softplus(out)
-        out = nn.Dense(self.hidden, dtype=self.dtype)(out)
-        return out
 
 
 @register_model("schnet")
@@ -52,29 +49,75 @@ class SchNet(nn.Module):
     energy_mean: float = 0.0
     energy_std: float = 1.0
     use_atomrefs: bool = False
+    remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # "off" = pure XLA; "fused" = custom-VJP kernels (first-order);
+    # "train" = custom-JVP dual kernels (engine force_grads="pallas")
+    use_pallas: str = "off"
 
     derivative_forces = True
 
+    def _mode(self) -> str:
+        return "fused" if self.use_pallas in (True, "full", "auto") else (
+            "off" if self.use_pallas in (False,) else self.use_pallas)
+
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
+        f, r = self.hidden, self.n_rbf
+        mode = self._mode()
         cdt = jnp.dtype(self.compute_dtype)
-        nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
-        rbf = radial.gaussian_rbf(nl.dist, self.n_rbf, self.cutoff).astype(cdt)
-        fcut = radial.cosine_cutoff(nl.dist, self.cutoff).astype(cdt)  # [B,A,K]
+        dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+        adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
+        dist = jnp.where(adj, dg.dist, 0.0)
 
-        # filter network shared structure per interaction (schnetpack keeps
-        # one filter net per interaction block)
-        x = nn.Embed(self.num_elements, self.hidden, dtype=cdt, name="atom_embedding")(batch.z)
+        def rbf_fn(d):
+            return radial.gaussian_rbf(d, r, self.cutoff).astype(cdt)
+
+        def env_fn(d):
+            return jnp.where(adj, radial.cosine_cutoff(d, self.cutoff), 0.0).astype(cdt)
+
+        if mode == "fused":
+            # kernel VJP folds the basis+envelope chain into g_dist; the
+            # tensors themselves must not carry an AD graph
+            ones = jnp.ones_like(dist)
+            rbf, rbfp = jax.jvp(rbf_fn, (dist,), (ones,))
+            envf, envp = jax.jvp(env_fn, (dist,), (ones,))
+            rbf, rbfp = jax.lax.stop_gradient((rbf, rbfp))
+            envf, envp = jax.lax.stop_gradient((envf, envp))
+        else:
+            rbf, envf = rbf_fn(dist), env_fn(dist)
+            rbfp = envp = jnp.zeros((), cdt)  # unused by off/train paths
+
+        x = nn.Embed(self.num_elements, f, dtype=cdt, name="atom_embedding")(batch.z)
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        interpret = jax.default_backend() == "cpu"
         for i in range(self.n_interactions):
-            w = nn.Dense(self.hidden, dtype=cdt, name=f"filter_{i}_0")(rbf)
-            w = shifted_softplus(w)
-            w = nn.Dense(self.hidden, dtype=cdt, name=f"filter_{i}_1")(w)
-            w = w * fcut[..., None]
-            x = x + SchNetInteraction(self.hidden, dtype=cdt, name=f"interaction_{i}")(x, nl, w)
+            # filter-MLP params are raw arrays: both XLA and kernel paths
+            # read the same tree (one canonical checkpoint layout)
+            w1 = self.param(f"filter_{i}_w1", lecun, (r, f))
+            b1 = self.param(f"filter_{i}_b1", zeros, (1, f))
+            w2 = self.param(f"filter_{i}_w2", lecun, (f, f))
+            b2 = self.param(f"filter_{i}_b2", zeros, (1, f))
+            xin = nn.Dense(f, use_bias=False, dtype=cdt, name=f"in2f_{i}")(x)
+            if mode == "off":
+                msg_fn = lambda rbf, envf, xin, w1, b1, w2, b2: (
+                    schnet_message_reference(rbf, envf, xin, w1, b1, w2, b2))
+                if self.remat:
+                    msg_fn = jax.checkpoint(msg_fn)
+                msg = msg_fn(rbf, envf, xin, w1, b1, w2, b2)
+            elif mode == "fused":
+                msg = schnet_message(dist, rbf, rbfp, envf, envp, xin,
+                                     w1, b1, w2, b2, interpret)
+            else:  # train
+                msg = schnet_message_train(dist, rbf, rbfp, envf, envp, xin,
+                                           w1, b1, w2, b2, interpret)
+            h = nn.Dense(f, dtype=cdt, name=f"f2out_{i}_0")(msg.astype(cdt))
+            h = shifted_softplus(h)
+            x = x + nn.Dense(f, dtype=cdt, name=f"f2out_{i}_1")(h)
         x = x.astype(jnp.float32)
 
-        e_atom = MLP([self.hidden // 2, 1], activation=shifted_softplus, name="atomwise")(x)
+        e_atom = MLP([f // 2, 1], activation=shifted_softplus, name="atomwise")(x)
         e_atom = e_atom[..., 0] * self.energy_std + self.energy_mean
         if self.use_atomrefs:
             refs = jnp.asarray(atomrefs_for(self.num_elements), jnp.float32)

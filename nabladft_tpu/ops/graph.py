@@ -74,6 +74,18 @@ def dense_graph(pos: jnp.ndarray, node_mask: jnp.ndarray, cutoff: float) -> Dens
     return DenseGraph(diff=diff, dist=dist, adj=adj)
 
 
+def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Restrict a dense adjacency to each row's k nearest neighbors (the
+    dense-formulation analog of the strict top-k neighbor cap,
+    painn_pyg/utils.py:223-317)."""
+    a = dist.shape[-1]
+    if k >= a:
+        return adj
+    neg = jnp.where(adj, -dist, -jnp.inf)
+    kth = jax.lax.top_k(neg, k)[0][..., -1:]  # [B,A,1] k-th smallest distance
+    return adj & (dist <= -kth + 1e-7)
+
+
 def neighbor_list(
     pos: jnp.ndarray,
     node_mask: jnp.ndarray,

@@ -120,3 +120,16 @@ def save_params(params: Any, path: Path) -> None:
 
 def load_params(target: Any, path: Path) -> Any:
     return serialization.from_bytes(target, Path(path).read_bytes())
+
+
+def load_params_for(model, path: Path) -> Any:
+    """Load a raw param tree and remap it to the layout `model` resolves to.
+
+    eSCN/EquiformerV2 use different parameter layouts on the fused-Pallas
+    and XLA paths (use_pallas="auto" resolves per backend) — a checkpoint
+    trained on TPU must restore for CPU eval and vice versa. The layouts
+    are losslessly interconvertible (models/param_convert.py)."""
+    from nabladft_tpu.models.param_convert import convert_params
+
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    return convert_params(model, raw)

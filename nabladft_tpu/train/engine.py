@@ -89,6 +89,10 @@ class TrainerConfig:
     loss_coefs: Dict[str, float] = field(
         default_factory=lambda: {"energy": 1.0, "forces": 1.0}
     )
+    # PhiSNet max-error loss gating (phisnet/training/util.py:37-45):
+    # target -> MAE clamp; a target whose batch MAE exceeds its clamp is
+    # dropped from the training total that step (train steps only).
+    loss_max_errors: Optional[Dict[str, float]] = None
     # force-loss gradient implementation for derivative-force models:
     #   "direct"    — reverse-over-reverse AD (any model, any platform);
     #   "surrogate" — forward-over-reverse: ∂/∂θ Σ w·F is the grad of a JVP
@@ -176,8 +180,18 @@ class Trainer:
             **cfg.schedule_kwargs,
         )
         lr: Any = schedule if schedule is not None else cfg.lr
+        # wd_skip_1d: decay only rank>=2 params (weights), never biases /
+        # layer-norm scales / RBF offsets — the reference EquiformerV2
+        # no_weight_decay param-group split generalized by rank.
+        wd_mask = (
+            (lambda params: jax.tree_util.tree_map(lambda p: p.ndim > 1, params))
+            if cfg.wd_skip_1d
+            else None
+        )
         opts = {
-            "adamw": lambda r: optax.adamw(r, weight_decay=cfg.weight_decay),
+            "adamw": lambda r: optax.adamw(
+                r, weight_decay=cfg.weight_decay, mask=wd_mask
+            ),
             "adam": lambda r: optax.adam(r),
             # PhiSNet / GemNet-OC / eSCN train with amsgrad (their configs)
             "amsgrad": lambda r: optax.amsgrad(r),
@@ -239,10 +253,11 @@ class Trainer:
 
     # -- jitted steps --------------------------------------------------------
 
-    def _loss_and_out(self, params, batch, model, rngs=None):
+    def _loss_and_out(self, params, batch, model, rngs=None, max_errors=None):
         out = forward(model, params, batch, rngs=rngs)
         losses = losses_lib.multitask_loss(
-            out, batch, self.cfg.loss_specs, self.cfg.loss_coefs
+            out, batch, self.cfg.loss_specs, self.cfg.loss_coefs,
+            max_errors=max_errors,
         )
         return losses, out
 
@@ -273,7 +288,8 @@ class Trainer:
         out_full = dict(out)
         out_full["forces"] = forces
         losses = losses_lib.multitask_loss(
-            out_full, batch, cfg.loss_specs, cfg.loss_coefs
+            out_full, batch, cfg.loss_specs, cfg.loss_coefs,
+            max_errors=cfg.loss_max_errors,
         )
 
         f_kind = cfg.loss_specs["forces"]
@@ -302,7 +318,10 @@ class Trainer:
         rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), state.step)}
 
         def loss_fn(params):
-            losses, out = self._loss_and_out(params, batch, self.model, rngs=rngs)
+            losses, out = self._loss_and_out(
+                params, batch, self.model, rngs=rngs,
+                max_errors=self.cfg.loss_max_errors,
+            )
             return losses["total"], (losses, out)
 
         use_surrogate = (
@@ -349,15 +368,39 @@ class Trainer:
         return new_state, metrics
 
     def _ckpt_aux(self):
-        if self.cfg.schedule != "plateau":
-            return None
-        return {
-            "plateau": {
+        aux = {}
+        # record the resolved parameter layout (eSCN/EqV2 use_pallas="auto"
+        # resolves per backend; a layout-mismatched restore must fail with
+        # an actionable message, not a flax structure error)
+        from nabladft_tpu.models.param_convert import params_layout
+
+        layout = params_layout(self.model)
+        if layout != "shared":
+            aux["params_layout"] = layout
+        if self.cfg.schedule == "plateau":
+            aux["plateau"] = {
                 "best": self.plateau.best,
                 "bad_epochs": self.plateau.bad_epochs,
                 "multiplier": self.plateau.multiplier,
             }
-        }
+        return aux or None
+
+    def _check_ckpt_layout(self, aux, ckpt_path) -> None:
+        from nabladft_tpu.models.param_convert import params_layout
+
+        saved = (aux or {}).get("params_layout")
+        current = params_layout(self.model)
+        if saved and current != "shared" and saved != current:
+            raise ValueError(
+                f"checkpoint {ckpt_path} was saved in the {saved!r} parameter "
+                f"layout but this model resolves to {current!r} "
+                f"(use_pallas={getattr(self.model, 'use_pallas', None)!r} on "
+                f"backend {jax.default_backend()!r}). For evaluation, load the "
+                "raw params with train.checkpoints.load_params_for(model, path) "
+                "which remaps layouts losslessly; to resume training, "
+                "instantiate the model with use_pallas pinned to the saved "
+                "layout."
+            )
 
     def _restore_aux(self, aux) -> None:
         if aux and "plateau" in aux:
@@ -393,10 +436,12 @@ class Trainer:
             self.init_state(first)
         if ckpt_path:
             assert self.ckpt is not None
+            aux = self.ckpt.read_aux(Path(ckpt_path))
+            self._check_ckpt_layout(aux, ckpt_path)
             self.state, step = self.ckpt.restore(self.state, Path(ckpt_path))
             # reference parity: Lightning persists lr-scheduler state in
             # checkpoints; restore the plateau counters alongside
-            self._restore_aux(self.ckpt.read_aux(Path(ckpt_path)))
+            self._restore_aux(aux)
         if (
             cfg.fit_scale_factors
             and not ckpt_path

@@ -62,6 +62,11 @@ def matrix_rmse_mae(pred, target, pair_mask) -> jnp.ndarray:
     return jnp.sqrt(mse + _EPS) + mae
 
 
+def matrix_mae(pred, target, pair_mask) -> jnp.ndarray:
+    diff = jnp.where(pair_mask, pred - target, 0.0)
+    return jnp.sum(jnp.abs(diff)) / jnp.maximum(pair_mask.sum(), 1.0)
+
+
 def block_target_matrix(target_mat, idx, valid, graph_mask):
     """Gather the target matrix into block-space super-matrix form.
 
@@ -92,35 +97,55 @@ def multitask_loss(
     batch,
     loss_specs: Dict[str, str],
     loss_coefs: Dict[str, float],
+    max_errors: Dict[str, float] | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Weighted multi-task loss.
 
     loss_specs: target -> loss kind, e.g. {"energy": "l1", "forces": "l2norm"}.
+    max_errors: optional per-target MAE clamp (PhiSNet legacy trainer,
+    phisnet/training/util.py:37-45): a target whose batch MAE exceeds its
+    clamp contributes ZERO to the total this step, so one exploding target
+    (e.g. energies early in multi-task H+E+F training) cannot poison the
+    gradients of the others. Gated per-target values are still reported.
     Returns {"total": scalar, "<target>": scalar per task}.
     """
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
     for target, kind in loss_specs.items():
+        mae = None
         if target == "energy":
             fn = LOSS_FNS[f"energy_{kind}"]
             val = fn(out["energy"], batch.energy, batch.graph_mask)
+            if max_errors and target in max_errors:
+                mae = energy_l1(out["energy"], batch.energy, batch.graph_mask)
         elif target == "forces":
             fn = LOSS_FNS[f"forces_{kind}"]
             val = fn(out["forces"], batch.forces, batch.node_mask)
+            if max_errors and target in max_errors:
+                mae = forces_l1(out["forces"], batch.forces, batch.node_mask)
         elif target in ("hamiltonian", "overlap", "core"):
             if target not in out and f"{target}_blocks" in out:
+                pred, tgt_mat = out[f"{target}_blocks"], None
                 tgt, pm = block_target_matrix(
                     getattr(batch, target), out["block_index"],
                     out["block_valid"], batch.graph_mask,
                 )
-                val = matrix_rmse_mae(out[f"{target}_blocks"], tgt, pm)
             else:
+                pred, tgt = out[target], getattr(batch, target)
                 pm = batch.orb_mask[:, :, None] & batch.orb_mask[:, None, :]
                 pm = pm & batch.graph_mask[:, None, None]
-                val = matrix_rmse_mae(out[target], getattr(batch, target), pm)
+            val = matrix_rmse_mae(pred, tgt, pm)
+            if max_errors and target in max_errors:
+                mae = matrix_mae(pred, tgt, pm)
         else:
             raise KeyError(f"unknown loss target {target!r}")
         losses[target] = val
-        total = total + loss_coefs.get(target, 1.0) * val
+        coef = loss_coefs.get(target, 1.0)
+        if mae is not None:
+            # hard gate, no gradient through the comparison
+            gate = (mae <= max_errors[target]).astype(val.dtype)
+            total = total + coef * gate * val
+        else:
+            total = total + coef * val
     losses["total"] = total
     return losses

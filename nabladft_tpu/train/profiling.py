@@ -77,7 +77,10 @@ def measured_peak_flops(dtype="bfloat16", n: int = 8192, iters: int = 8) -> floa
     import jax.numpy as jnp
 
     x = jnp.ones((n, n), jnp.dtype(dtype))
-    f = jax.jit(lambda a, b: (a @ b)[0, 0])
+    # Consume the WHOLE product: slicing [0, 0] out of the dot lets XLA's
+    # algebraic simplifier rewrite slice-of-dot into a 2n-FLOP row·column
+    # product, which would inflate the "measured peak" by ~n^2.
+    f = jax.jit(lambda a, b: jnp.sum(a @ b, dtype=jnp.float32))
     float(f(x, x))  # compile + warm
     t0 = time.perf_counter()
     out = None

@@ -32,52 +32,16 @@ KW = dict(num_layers=1, l_max=2, m_max=1, sphere_channels=8,
           ffn_hidden_channels=8, cutoff=6.0, max_neighbors=7)
 
 
-def _remap_ga(ga, l_max, m_max, co):
-    """pallas ga params -> XLA ga params."""
-    out = {}
-    out["rad_func"] = {"kernel": ga["w_rad"], "bias": ga["b_rad"][0]}
-    n0 = l_max + 1
-    c1 = {"fc_m0": {"kernel": ga["w1"]}}
-    c2 = {"fc_m0": {"kernel": ga["w2"]}}
-    for m in range(1, m_max + 1):
-        n_l = l_max + 1 - m
-        c1[f"fc_r_m{m}"] = {"kernel": ga[f"fc1_m{m}"][:, : n_l * co]}
-        c1[f"fc_i_m{m}"] = {"kernel": ga[f"fc1_m{m}"][:, n_l * co :]}
-        c2[f"fc_r_m{m}"] = {"kernel": ga[f"fc2_m{m}"][:, : n_l * co]}
-        c2[f"fc_i_m{m}"] = {"kernel": ga[f"fc2_m{m}"][:, n_l * co :]}
-    out["so2_conv_1"] = c1
-    out["so2_conv_2"] = c2
-    out["alpha_norm"] = {"scale": ga["ln_scale"][0], "bias": ga["ln_bias"][0]}
-    out["alpha_dot"] = ga["alpha_dot"]
-    for k, v in ga.items():
-        if k.startswith("proj_l"):
-            out[k] = v
-    return out
-
-
-def _remap_params(p_pl, l_max, m_max, co):
-    params = jax.tree_util.tree_map(lambda x: x, p_pl)["params"]
-    new = {}
-    for name, sub in params.items():
-        if name.startswith("block_"):
-            nb = dict(sub)
-            nb["ga"] = _remap_ga(sub["ga"], l_max, m_max, co)
-            new[name] = nb
-        elif name == "force_block":
-            new[name] = _remap_ga(sub, l_max, m_max, co)
-        else:
-            new[name] = sub
-    return {"params": new}
-
-
 def test_pallas_attention_matches_xla():
+    from nabladft_tpu.models.param_convert import eqv2_params
+
     rng = np.random.default_rng(0)
     batch = _make_batch(rng)
     co = KW["num_heads"] * KW["attn_value_channels"]
     m_pl = create_model("equiformer_v2", **KW, use_pallas=True, remat=False)
     m_x = create_model("equiformer_v2", **KW, use_pallas=False, remat=False)
     p_pl = jax.jit(m_pl.init)(jax.random.PRNGKey(0), batch)
-    p_x = _remap_params(p_pl, KW["l_max"], KW["m_max"], co)
+    p_x = eqv2_params(p_pl, "xla", KW["l_max"], KW["m_max"], co)
 
     out_pl = m_pl.apply(p_pl, batch)
     out_x = m_x.apply(p_x, batch)

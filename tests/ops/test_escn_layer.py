@@ -34,53 +34,15 @@ KW = dict(num_layers=2, l_max=2, m_max=1, sphere_channels=8, hidden=16,
           num_sphere_samples=16, distance_resolution=0.5)
 
 
-def _remap_params(pallas_params, l_max, m_max):
-    """Map the pallas-path param tree onto the XLA-path tree."""
-    import copy
-
-    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, pallas_params))
-    params = out["params"]
-    for lname, lp in params.items():
-        if not lname.startswith("layer_"):
-            continue
-        wg, bg = lp.pop("wg"), lp.pop("bg")
-        w1_0, w2_0 = lp.pop("w1_0"), lp.pop("w2_0")
-        for bi, bname in ((0, "so2_source"), (1, "so2_target")):
-            blk = {
-                "fc_dist0": {"kernel": wg[bi][:, : 16], "bias": bg[bi][0, :16]},
-                "fc1_m0": {"kernel": w1_0[bi]},
-                "fc2_m0": {"kernel": w2_0[bi]},
-            }
-            for m in range(1, m_max + 1):
-                fc1 = lp["fc1_m%d" % m] if f"fc1_m{m}" in lp else lp.pop(f"fc1_m{m}")
-                w2r = lp[f"w2r_m{m}"]
-                w2i = lp[f"w2i_m{m}"]
-                h = w2r.shape[1]
-                blk[f"so2_m{m}"] = {
-                    "fc_dist": {
-                        "kernel": wg[bi][:, (2 * m - 1) * h : (2 * m + 1) * h],
-                        "bias": bg[bi][0, (2 * m - 1) * h : (2 * m + 1) * h],
-                    },
-                    "fc1_r": {"kernel": fc1[bi][:, :h]},
-                    "fc1_i": {"kernel": fc1[bi][:, h:]},
-                    "fc2_r": {"kernel": w2r[bi]},
-                    "fc2_i": {"kernel": w2i[bi]},
-                }
-            params[lname][bname] = blk
-        for m in range(1, m_max + 1):
-            lp.pop(f"fc1_m{m}", None)
-            lp.pop(f"w2r_m{m}", None)
-            lp.pop(f"w2i_m{m}", None)
-    return out
-
-
 def test_pallas_layer_matches_xla_forward_and_grads():
+    from nabladft_tpu.models.param_convert import escn_params
+
     rng = np.random.default_rng(0)
     batch = _make_batch(rng)
     m_pl = create_model("escn", **KW, use_pallas=True, remat=False)
     m_x = create_model("escn", **KW, use_pallas=False, remat=False)
     p_pl = jax.jit(m_pl.init)(jax.random.PRNGKey(0), batch)
-    p_x = _remap_params(p_pl, KW["l_max"], KW["m_max"])
+    p_x = escn_params(p_pl, "xla")
 
     out_pl = m_pl.apply(p_pl, batch)
     out_x = m_x.apply(p_x, batch)
