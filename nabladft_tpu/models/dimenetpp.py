@@ -26,10 +26,8 @@ from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import ModelOutput, register_model
 from nabladft_tpu.ops import graph
 from nabladft_tpu.ops.segment import masked_sum
-from nabladft_tpu.ops.spherical import (
-    bessel_radial_basis_with_envelope,
-    dimenet_spherical_basis,
-)
+from nabladft_tpu.ops.radial import dimenet_bessel_rbf
+from nabladft_tpu.ops.spherical import dimenet_spherical_basis
 
 
 def swish(x):
@@ -60,13 +58,16 @@ class InteractionPPBlock(nn.Module):
     def __call__(self, m, rbf, sbf, nl: graph.NeighborList, trip_mask):
         # m: [B,A,K,H] message of edge (j->i); rbf: [B,A,K,R]; sbf: [B,A,K,K,S*R]
         dt = self.dtype
-        x_ji = swish(nn.Dense(self.hidden, dtype=dt)(m))
-        x_kj = swish(nn.Dense(self.hidden, dtype=dt)(m))
-        rbf_w = nn.Dense(self.hidden, use_bias=False, dtype=dt)(
-            nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt)(rbf)
+        # explicit names mirror torch_geometric InteractionPPBlock fields
+        # (lin_ji/lin_kj/lin_rbf1/lin_rbf2/lin_down/lin_sbf1/lin_sbf2/lin_up)
+        x_ji = swish(nn.Dense(self.hidden, dtype=dt, name="lin_ji")(m))
+        x_kj = swish(nn.Dense(self.hidden, dtype=dt, name="lin_kj")(m))
+        rbf_w = nn.Dense(self.hidden, use_bias=False, dtype=dt, name="rbf2")(
+            nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt, name="rbf1")(rbf)
         )
         x_kj = x_kj * rbf_w
-        x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, dtype=dt)(x_kj))
+        x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, dtype=dt,
+                              name="down")(x_kj))
         # triplet aggregation: agg[.. k, e] =
         #   Σ_{k2,c} s8[.. k, k2, c] · w2[c, e] · x_kj[b, idx[.. k], k2, e]
         # Both paths share this parameterization (identical checkpoint
@@ -89,14 +90,15 @@ class InteractionPPBlock(nn.Module):
             agg = jnp.sum(
                 jnp.where(trip_mask[..., None], t * sbf_w, 0.0), axis=3
             )  # [B,A,K,E]
-        x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt)(agg.astype(dt)))
+        x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt,
+                              name="up")(agg.astype(dt)))
 
         h = x_ji + x_kj
-        for _ in range(self.num_before_skip):
-            h = ResidualLayer(self.hidden, dtype=dt)(h)
-        h = swish(nn.Dense(self.hidden, dtype=dt)(h)) + m
-        for _ in range(self.num_after_skip):
-            h = ResidualLayer(self.hidden, dtype=dt)(h)
+        for k in range(self.num_before_skip):
+            h = ResidualLayer(self.hidden, dtype=dt, name=f"before_skip_{k}")(h)
+        h = swish(nn.Dense(self.hidden, dtype=dt, name="skip")(h)) + m
+        for k in range(self.num_after_skip):
+            h = ResidualLayer(self.hidden, dtype=dt, name=f"after_skip_{k}")(h)
         return h
 
 
@@ -110,12 +112,15 @@ class OutputPPBlock(nn.Module):
     @nn.compact
     def __call__(self, m, rbf, nl: graph.NeighborList):
         dt = self.dtype
-        g = nn.Dense(self.hidden, use_bias=False, dtype=dt)(rbf) * m  # [B,A,K,H]
+        g = nn.Dense(self.hidden, use_bias=False, dtype=dt,
+                     name="lin_rbf")(rbf) * m  # [B,A,K,H]
         x = masked_sum(g, nl.mask, axis=2).astype(dt)  # [B,A,H] receiver agg
-        x = nn.Dense(self.out_emb_channels, use_bias=False, dtype=dt)(x)
-        for _ in range(self.num_layers):
-            x = swish(nn.Dense(self.out_emb_channels, dtype=dt)(x))
-        return nn.Dense(self.out_channels, use_bias=False, dtype=dt)(x)
+        x = nn.Dense(self.out_emb_channels, use_bias=False, dtype=dt,
+                     name="lin_up")(x)
+        for k in range(self.num_layers):
+            x = swish(nn.Dense(self.out_emb_channels, dtype=dt, name=f"lin_{k}")(x))
+        return nn.Dense(self.out_channels, use_bias=False, dtype=dt,
+                        name="lin_out")(x)
 
 
 @register_model("dimenetpp")
@@ -158,8 +163,15 @@ class DimeNetPP(nn.Module):
     def __call__(self, batch: MolBatch) -> ModelOutput:
         cdt = jnp.dtype(self.compute_dtype)
         nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
-        rbf = bessel_radial_basis_with_envelope(
-            nl.dist, self.num_radial, self.cutoff, self.envelope_exponent
+        # trainable Bessel frequencies (torch_geometric BesselBasisLayer
+        # stores `rbf.freq` as a parameter; init n·π)
+        freqs = self.param(
+            "rbf_freq",
+            lambda _: jnp.arange(1, self.num_radial + 1, dtype=jnp.float32) * jnp.pi,
+        )
+        rbf = dimenet_bessel_rbf(
+            nl.dist, self.num_radial, self.cutoff, self.envelope_exponent,
+            freqs=freqs,
         )
         cos_angle, trip_mask = graph.triplet_angles(nl)
         d_kj = graph.gather_nodes(nl.dist, nl.idx)  # [B,A,K,K]

@@ -25,6 +25,12 @@ from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import ModelOutput, register_model
 
 
+def _gelu(x):
+    """Exact (erf) GELU — torch F.gelu parity; jax.nn.gelu defaults to the
+    tanh approximation, which breaks converted-checkpoint parity."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 class GaussianEdgeLayer(nn.Module):
     """Per-edge-type affine of distance -> K gaussian kernels
     (reference GaussianLayer, graphormer_3d.py:126-146)."""
@@ -65,7 +71,7 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attn_bias):
         # pre-LN self attention with additive bias [B,H,A,A]
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         d_head = self.embed_dim // self.heads
         qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -83,8 +89,8 @@ class EncoderLayer(nn.Module):
         attn = nn.Dense(self.embed_dim, dtype=self.dtype)(attn)
         x = x + nn.Dropout(self.dropout, deterministic=self.deterministic)(attn)
 
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = jax.nn.gelu(nn.Dense(self.ffn_dim, dtype=self.dtype)(h))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        h = _gelu(nn.Dense(self.ffn_dim, dtype=self.dtype)(h))
         h = nn.Dropout(self.activation_dropout, deterministic=self.deterministic)(h)
         h = nn.Dense(self.embed_dim, dtype=self.dtype)(h)
         return x + nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
@@ -144,7 +150,8 @@ class Graphormer3D(nn.Module):
     def __call__(self, batch: MolBatch) -> ModelOutput:
         z = jnp.where(batch.node_mask, batch.z, 0)
         tags = batch.node_mask.astype(jnp.int32)  # 1 = real atom, 0 = padding
-        diff = batch.pos[:, :, None, :] - batch.pos[:, None, :, :]
+        # reference delta_pos[b,i,j] = pos_j - pos_i (graphormer_3d.py:283)
+        diff = batch.pos[:, None, :, :] - batch.pos[:, :, None, :]
         dist = jnp.linalg.norm(diff, axis=-1)
         unit = diff / (dist[..., None] + 1e-5)
 
@@ -167,7 +174,7 @@ class Graphormer3D(nn.Module):
         x = nn.Dropout(self.input_dropout, deterministic=self.deterministic)(x)
 
         # additive attention bias: -inf on padding senders
-        bias = jax.nn.gelu(nn.Dense(self.num_kernel, name="bias_proj_0")(gbf))
+        bias = _gelu(nn.Dense(self.num_kernel, name="bias_proj_0")(gbf))
         bias = nn.Dense(self.attention_heads, name="bias_proj_1")(bias)
         bias = jnp.transpose(bias, (0, 3, 1, 2))  # [B,H,A,A]
         neg_inf = jnp.asarray(-1e9, bias.dtype)
@@ -185,10 +192,10 @@ class Graphormer3D(nn.Module):
         for _ in range(self.blocks):  # weight-shared blocks (reference :303)
             for layer in shared_layers:
                 x = layer(x, bias)
-        x = nn.LayerNorm(name="final_ln")(x.astype(jnp.float32))
+        x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x.astype(jnp.float32))
 
         e = nn.Dropout(0.1, deterministic=self.deterministic)(x)
-        e = jax.nn.gelu(nn.Dense(self.embed_dim, name="energy_proj_0")(e))
+        e = _gelu(nn.Dense(self.embed_dim, name="energy_proj_0")(e))
         e = nn.Dense(1, name="energy_proj_1")(e)[..., 0]
         agg = nn.Embed(
             3, 1, embedding_init=nn.initializers.normal(0.01), name="energy_agg_factor"

@@ -161,6 +161,128 @@ def convert_painn(state: Dict[str, np.ndarray], params: Dict) -> Dict:
     return params
 
 
+@register_converter("dimenetpp")
+def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict) -> Dict:
+    """Reference DimeNet++ (torch_geometric DimeNetPlusPlus wrapped by
+    DimeNetPlusPlusPotential, dimenetplusplus.py:22-116) → models.dimenetpp.
+    Keys follow the reference registry's rebuilt state dict
+    (model_registry.py:143-148 strips the Lightning 'net.' level):
+    'net.<tg module>' + 'regr_or_cls_nn.<head>'. The basis functions match
+    torch_geometric verbatim (ops/radial.dimenet_bessel_rbf,
+    ops/spherical.dimenet_spherical_basis), so weights copy unscaled."""
+    p = params["params"]
+    pre = "net."
+    _fill(p, "rbf_freq", state[pre + "rbf.freq"])
+    emb = state[pre + "emb.emb.weight"]  # tg Embedding(95, H)
+    tgt = p["atom_embedding"]["embedding"]
+    padded = np.zeros_like(np.asarray(tgt))
+    padded[: emb.shape[0]] = emb
+    _fill(p, "atom_embedding/embedding", padded)
+    _fill(p, "rbf_embed/kernel", _t(state[pre + "emb.lin_rbf.weight"]))
+    _fill(p, "rbf_embed/bias", state[pre + "emb.lin_rbf.bias"])
+    _fill(p, "edge_embed/kernel", _t(state[pre + "emb.lin.weight"]))
+    _fill(p, "edge_embed/bias", state[pre + "emb.lin.bias"])
+
+    n_out = len([k for k in state if ".lin_up.weight" in k and "output_blocks" in k])
+    for i in range(n_out):
+        b = f"{pre}output_blocks.{i}."
+        o = f"output_{i}"
+        _fill(p, f"{o}/lin_rbf/kernel", _t(state[b + "lin_rbf.weight"]))
+        _fill(p, f"{o}/lin_up/kernel", _t(state[b + "lin_up.weight"]))
+        k = 0
+        while b + f"lins.{k}.weight" in state:
+            _fill(p, f"{o}/lin_{k}/kernel", _t(state[b + f"lins.{k}.weight"]))
+            _fill(p, f"{o}/lin_{k}/bias", state[b + f"lins.{k}.bias"])
+            k += 1
+        _fill(p, f"{o}/lin_out/kernel", _t(state[b + "lin.weight"]))
+
+    n_int = len([k for k in state if ".lin_ji.weight" in k])
+    for i in range(n_int):
+        b = f"{pre}interaction_blocks.{i}."
+        t = f"interaction_{i}"
+        _fill(p, f"{t}/lin_ji/kernel", _t(state[b + "lin_ji.weight"]))
+        _fill(p, f"{t}/lin_ji/bias", state[b + "lin_ji.bias"])
+        _fill(p, f"{t}/lin_kj/kernel", _t(state[b + "lin_kj.weight"]))
+        _fill(p, f"{t}/lin_kj/bias", state[b + "lin_kj.bias"])
+        _fill(p, f"{t}/rbf1/kernel", _t(state[b + "lin_rbf1.weight"]))
+        _fill(p, f"{t}/rbf2/kernel", _t(state[b + "lin_rbf2.weight"]))
+        _fill(p, f"{t}/sbf1/kernel", _t(state[b + "lin_sbf1.weight"]))
+        _fill(p, f"{t}/sbf2_kernel", _t(state[b + "lin_sbf2.weight"]))
+        _fill(p, f"{t}/down/kernel", _t(state[b + "lin_down.weight"]))
+        _fill(p, f"{t}/up/kernel", _t(state[b + "lin_up.weight"]))
+        _fill(p, f"{t}/skip/kernel", _t(state[b + "lin.weight"]))
+        _fill(p, f"{t}/skip/bias", state[b + "lin.bias"])
+        for group, tgt_g in (("layers_before_skip", "before_skip"),
+                             ("layers_after_skip", "after_skip")):
+            k = 0
+            while b + f"{group}.{k}.lin1.weight" in state:
+                _fill(p, f"{t}/{tgt_g}_{k}/Dense_0/kernel",
+                      _t(state[b + f"{group}.{k}.lin1.weight"]))
+                _fill(p, f"{t}/{tgt_g}_{k}/Dense_0/bias",
+                      state[b + f"{group}.{k}.lin1.bias"])
+                _fill(p, f"{t}/{tgt_g}_{k}/Dense_1/kernel",
+                      _t(state[b + f"{group}.{k}.lin2.weight"]))
+                _fill(p, f"{t}/{tgt_g}_{k}/Dense_1/bias",
+                      state[b + f"{group}.{k}.lin2.bias"])
+                k += 1
+
+    # graph-latent head: nn.Sequential(Linear, Swish)×3 + Linear → indices
+    # 0, 2, 4, 6 (dimenetplusplus.py:85-93)
+    for j, idx in enumerate((0, 2, 4, 6)):
+        _fill(p, f"Dense_{j}/kernel", _t(state[f"regr_or_cls_nn.{idx}.weight"]))
+        _fill(p, f"Dense_{j}/bias", state[f"regr_or_cls_nn.{idx}.bias"])
+    return params
+
+
+@register_converter("graphormer3d")
+def convert_graphormer3d(state: Dict[str, np.ndarray], params: Dict) -> Dict:
+    """Reference Graphormer3D (graphormer/graphormer_3d.py:227-321) →
+    models.graphormer3d. Keys are the registry-rebuilt module paths
+    (Lightning 'net.' stripped, model_registry.py:143-148)."""
+    p = params["params"]
+    _fill(p, "atom_encoder/embedding", state["atom_encoder.weight"])
+    _fill(p, "tag_encoder/embedding", state["tag_encoder.weight"])
+    _fill(p, "gbf/means", state["gbf.means.weight"][0])
+    _fill(p, "gbf/stds", state["gbf.stds.weight"][0])
+    _fill(p, "gbf/Embed_0/embedding", state["gbf.mul.weight"])
+    _fill(p, "gbf/Embed_1/embedding", state["gbf.bias.weight"])
+    _fill(p, "edge_proj/kernel", _t(state["edge_proj.weight"]))
+    _fill(p, "edge_proj/bias", state["edge_proj.bias"])
+    _fill(p, "bias_proj_0/kernel", _t(state["bias_proj.layer1.weight"]))
+    _fill(p, "bias_proj_0/bias", state["bias_proj.layer1.bias"])
+    _fill(p, "bias_proj_1/kernel", _t(state["bias_proj.layer2.weight"]))
+    _fill(p, "bias_proj_1/bias", state["bias_proj.layer2.bias"])
+    n_layers = len([k for k in state if k.endswith(".self_attn.in_proj.weight")])
+    for i in range(n_layers):
+        b = f"layers.{i}."
+        t = f"layer_{i}"
+        _fill(p, f"{t}/Dense_0/kernel", _t(state[b + "self_attn.in_proj.weight"]))
+        _fill(p, f"{t}/Dense_0/bias", state[b + "self_attn.in_proj.bias"])
+        _fill(p, f"{t}/Dense_1/kernel", _t(state[b + "self_attn.out_proj.weight"]))
+        _fill(p, f"{t}/Dense_1/bias", state[b + "self_attn.out_proj.bias"])
+        _fill(p, f"{t}/Dense_2/kernel", _t(state[b + "fc1.weight"]))
+        _fill(p, f"{t}/Dense_2/bias", state[b + "fc1.bias"])
+        _fill(p, f"{t}/Dense_3/kernel", _t(state[b + "fc2.weight"]))
+        _fill(p, f"{t}/Dense_3/bias", state[b + "fc2.bias"])
+        _fill(p, f"{t}/LayerNorm_0/scale", state[b + "self_attn_layer_norm.weight"])
+        _fill(p, f"{t}/LayerNorm_0/bias", state[b + "self_attn_layer_norm.bias"])
+        _fill(p, f"{t}/LayerNorm_1/scale", state[b + "final_layer_norm.weight"])
+        _fill(p, f"{t}/LayerNorm_1/bias", state[b + "final_layer_norm.bias"])
+    _fill(p, "final_ln/scale", state["final_ln.weight"])
+    _fill(p, "final_ln/bias", state["final_ln.bias"])
+    _fill(p, "energy_proj_0/kernel", _t(state["energy_proj.layer1.weight"]))
+    _fill(p, "energy_proj_0/bias", state["energy_proj.layer1.bias"])
+    _fill(p, "energy_proj_1/kernel", _t(state["energy_proj.layer2.weight"]))
+    _fill(p, "energy_proj_1/bias", state["energy_proj.layer2.bias"])
+    _fill(p, "energy_agg_factor/embedding", state["energy_agg_factor.weight"])
+    fh = "force_head"
+    for j, name in enumerate(("q_proj", "k_proj", "v_proj", "force_proj1",
+                              "force_proj2", "force_proj3")):
+        _fill(p, f"{fh}/Dense_{j}/kernel", _t(state[f"node_proj.{name}.weight"]))
+        _fill(p, f"{fh}/Dense_{j}/bias", state[f"node_proj.{name}.bias"])
+    return params
+
+
 def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example_batch):
     """Convert a torch state dict into `model`'s parameter tree (the
     download-free core of get_pretrained_params, used by the golden tests)."""
@@ -187,7 +309,11 @@ def get_pretrained_params(
     import jax
 
     family = name.split("_")[0].lower().replace("-", "")
-    aliases = {"painnoc": "painn", "schnet": "schnet", "painn": "painn"}
+    aliases = {
+        "painnoc": "painn", "schnet": "schnet", "painn": "painn",
+        "dimenet++": "dimenetpp", "graphormer3dsmall": "graphormer3d",
+        "gemnetoc": "gemnet_oc",
+    }
     family = aliases.get(family, family)
     if family not in _CONVERTERS:
         raise NotImplementedError(

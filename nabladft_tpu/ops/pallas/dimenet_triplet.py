@@ -60,7 +60,7 @@ def _agg_kernel(idx_s, s8_r, xkj_r, w2_r, out_r):
     K = s8_r.shape[2]
     w2 = w2_r[:]
     for k in range(K):
-        j = idx_s[0, 0, k]
+        j = idx_s[0, pl.program_id(1), k]
         xj = xkj_r[0, j]                      # [K2, E]
         t1 = _dot(s8_r[0, 0, k], xj, (((0,), (0,))))   # [C, E]
         out_r[0, 0, k] = jnp.sum(w2 * t1, axis=0)
@@ -70,7 +70,7 @@ def _ds8_kernel(idx_s, g_r, xkj_r, w2_r, out_r):
     K = g_r.shape[2]
     w2 = w2_r[:]
     for k in range(K):
-        j = idx_s[0, 0, k]
+        j = idx_s[0, pl.program_id(1), k]
         xj = xkj_r[0, j]                      # [K2, E]
         ge = w2 * g_r[0, 0, k][None, :]       # [C, E]
         out_r[0, 0, k] = _dot(xj, ge, (((1,), (1,))))  # [K2, C]
@@ -85,7 +85,7 @@ def _dxkj_kernel(idx_s, s8_r, g_r, w2_r, out_r):
         out_r[:] = jnp.zeros_like(out_r)
 
     for k in range(K):
-        j = idx_s[0, 0, k]
+        j = idx_s[0, pl.program_id(1), k]
         ge = w2 * g_r[0, 0, k][None, :]       # [C, E]
         m = _dot(s8_r[0, 0, k], ge, (((1,), (0,))))    # [K2, E]
         out_r[0, j] = out_r[0, j] + m
@@ -100,7 +100,7 @@ def _dw2_kernel(idx_s, s8_r, xkj_r, g_r, out_r):
 
     acc = jnp.zeros(out_r.shape, F32)
     for k in range(K):
-        j = idx_s[0, 0, k]
+        j = idx_s[0, pl.program_id(1), k]
         xj = xkj_r[0, j]
         t1 = _dot(s8_r[0, 0, k], xj, (((0,), (0,))))   # [C, E]
         acc = acc + t1 * g_r[0, 0, k][None, :]
@@ -113,7 +113,7 @@ def _dw2_kernel(idx_s, s8_r, xkj_r, g_r, out_r):
 def _specs(B, A, K, K2, C, E):
     """BlockSpecs shared by the four kernels, keyed by logical role."""
     return {
-        "idx": pl.BlockSpec((1, 1, K), lambda b, a: (b, a, 0),
+        "idx": pl.BlockSpec((1, A, K), lambda b, a: (b, 0, 0),
                             memory_space=pltpu.SMEM),
         "bak_k2c": pl.BlockSpec((1, 1, K, K2, C), lambda b, a: (b, a, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
@@ -210,8 +210,9 @@ def _agg_fwd(s8, xkj, w2, idx):
 def _agg_bwd(res, g):
     s8, xkj, w2, idx = res
     g = g.astype(F32)
-    return (_d_s8(g, xkj, w2, idx), _d_xkj(s8, g, w2, idx),
-            _d_w2(s8, xkj, g, idx), _int_zeros(idx))
+    return (_d_s8(g, xkj, w2, idx).astype(s8.dtype),
+            _d_xkj(s8, g, w2, idx).astype(xkj.dtype),
+            _d_w2(s8, xkj, g, idx).astype(w2.dtype), _int_zeros(idx))
 
 
 triplet_agg.defvjp(_agg_fwd, _agg_bwd)
@@ -224,8 +225,9 @@ def _ds8_fwd(g, xkj, w2, idx):
 def _ds8_bwd(res, v):
     g, xkj, w2, idx = res
     v = v.astype(F32)
-    return (triplet_agg(v, xkj, w2, idx), _d_xkj(v, g, w2, idx),
-            _d_w2(v, xkj, g, idx), _int_zeros(idx))
+    return (triplet_agg(v, xkj, w2, idx).astype(g.dtype),
+            _d_xkj(v, g, w2, idx).astype(xkj.dtype),
+            _d_w2(v, xkj, g, idx).astype(w2.dtype), _int_zeros(idx))
 
 
 _d_s8.defvjp(_ds8_fwd, _ds8_bwd)
@@ -238,8 +240,9 @@ def _dxkj_fwd(s8, g, w2, idx):
 def _dxkj_bwd(res, u):
     s8, g, w2, idx = res
     u = u.astype(F32)
-    return (_d_s8(g, u, w2, idx), triplet_agg(s8, u, w2, idx),
-            _d_w2(s8, u, g, idx), _int_zeros(idx))
+    return (_d_s8(g, u, w2, idx).astype(s8.dtype),
+            triplet_agg(s8, u, w2, idx).astype(g.dtype),
+            _d_w2(s8, u, g, idx).astype(w2.dtype), _int_zeros(idx))
 
 
 _d_xkj.defvjp(_dxkj_fwd, _dxkj_bwd)
@@ -252,8 +255,9 @@ def _dw2_fwd(s8, xkj, g, idx):
 def _dw2_bwd(res, w):
     s8, xkj, g, idx = res
     w = w.astype(F32)
-    return (_d_s8(g, xkj, w, idx), _d_xkj(s8, g, w, idx),
-            triplet_agg(s8, xkj, w, idx), _int_zeros(idx))
+    return (_d_s8(g, xkj, w, idx).astype(s8.dtype),
+            _d_xkj(s8, g, w, idx).astype(xkj.dtype),
+            triplet_agg(s8, xkj, w, idx).astype(g.dtype), _int_zeros(idx))
 
 
 _d_w2.defvjp(_dw2_fwd, _dw2_bwd)

@@ -77,6 +77,24 @@ def gaussian_rbf(
     return jnp.exp(coeff * diff**2)
 
 
+def dimenet_bessel_rbf(
+    d: jnp.ndarray, num_basis: int, cutoff: float, envelope_exponent: int = 5,
+    freqs: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """torch_geometric BesselBasisLayer EXACT semantics: with x = d/cutoff,
+    env(x) = u(x)/x (the tg Envelope keeps the 1/x factor) and
+    rbf_n = env(x) · sin(freq_n · x), freq_n trainable (init n·π).
+
+    Matches the reference DimeNet++ checkpoints verbatim (the module the
+    reference wraps, dimenetplusplus.py:65-81, stores `net.rbf.freq`)."""
+    if freqs is None:
+        freqs = jnp.arange(1, num_basis + 1, dtype=d.dtype) * jnp.pi
+    x = d / cutoff
+    x_safe = jnp.where(x > 1e-8, x, 1.0)
+    env = polynomial_envelope(x, envelope_exponent) / x_safe
+    return env[..., None] * jnp.sin(freqs * x_safe[..., None])
+
+
 def bessel_rbf(d: jnp.ndarray, num_basis: int, cutoff: float) -> jnp.ndarray:
     """Zeroth-order spherical Bessel basis sqrt(2/rc) sin(n pi d/rc)/d.
 

@@ -118,10 +118,13 @@ def dimenet_spherical_basis(
     cutoff: float,
     envelope_exponent: int = 5,
 ) -> jnp.ndarray:
-    """DimeNet a_SBF(d, α): j_l(z_ln d/c) · Y_l0(α) · envelope(d/c).
+    """DimeNet a_SBF(d, α): torch_geometric SphericalBasisLayer EXACT
+    semantics — radial_ln(x) = √2/|j_{l+1}(z_ln)| · j_l(z_ln·x) with
+    x = d/c, times env(x) = u(x)/x (the tg Envelope keeps the 1/x factor),
+    times the real Y_l0(α). Matching tg verbatim (constants included) makes
+    the pretrained converter a plain weight copy.
 
-    d is the distance of the k→j edge, cos_angle the k→j→i angle
-    (torch_geometric SphericalBasisLayer semantics). Returns
+    d is the distance of the k→j edge, cos_angle the k→j→i angle. Returns
     [..., num_spherical * num_radial], fastest index = radial.
     """
     from nabladft_tpu.ops.radial import polynomial_envelope
@@ -136,7 +139,7 @@ def dimenet_spherical_basis(
     radial = jnp.stack(
         [jl_all[..., l, :, l] for l in range(l_max + 1)], axis=-2
     )  # [..., L+1, R]
-    # normalization sqrt(2 / (c^3 j_{l+1}(z_ln)^2))
+    # tg normalization sqrt(2) / |j_{l+1}(z_ln)| (dimenet_utils.bessel_basis)
     zeros_t = zeros
     jlp1 = np.stack(
         [
@@ -144,9 +147,12 @@ def dimenet_spherical_basis(
             for l in range(l_max + 1)
         ]
     )  # [L+1, R]
-    norm = np.sqrt(2.0 / (cutoff**3 * jlp1**2))
+    norm = np.sqrt(2.0) / np.abs(jlp1)
     radial = radial * norm
-    env = polynomial_envelope(d_scaled, envelope_exponent)
+    # tg Envelope: u(x)/x — the 1/x factor is kept (tg SphericalBasisLayer
+    # applies self.envelope(dist) with dist already scaled by 1/cutoff)
+    x_safe = jnp.where(d_scaled > 1e-8, d_scaled, 1.0)
+    env = polynomial_envelope(d_scaled, envelope_exponent) / x_safe
     radial = radial * env[..., None, None]
     # angular: Y_l0(α) ∝ sqrt((2l+1)/4π) P_l(cos α)
     pl = legendre_polynomials(cos_angle, l_max)  # [..., L+1]
