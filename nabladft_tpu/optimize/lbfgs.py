@@ -98,6 +98,7 @@ def _wolfe_search(compute, st, dr, node_mask, trials, c1, c2):
     found = jnp.zeros((b,), bool)
     fallback = jnp.ones((b,), dt)  # best Armijo-only step seen
     fallback_ok = jnp.zeros((b,), bool)
+    alpha_min = jnp.ones((b,), dt)  # smallest multiplier evaluated
     for _ in range(trials):
         e_t, f_t = compute(st.pos + alpha[:, None, None] * dr)
         dphi = _config_dot(-f_t, dr, node_mask)
@@ -108,6 +109,7 @@ def _wolfe_search(compute, st, dr, node_mask, trials, c1, c2):
         found = found | accept
         fallback = jnp.where(armijo & ~fallback_ok, alpha, fallback)
         fallback_ok = fallback_ok | armijo
+        alpha_min = jnp.minimum(alpha_min, alpha)
         # bracket update (strong-Wolfe zoom rules)
         shrink = ~armijo | (dphi > 0)  # overshoot -> bracket right end
         hi = jnp.where(shrink & ~found, alpha, hi)
@@ -115,7 +117,13 @@ def _wolfe_search(compute, st, dr, node_mask, trials, c1, c2):
         bisect = 0.5 * (lo + jnp.where(jnp.isfinite(hi), hi, lo + 2.0))
         expand = 2.0 * alpha
         alpha = jnp.where(jnp.isfinite(hi), bisect, expand)
-    return jnp.where(found, best, jnp.where(fallback_ok, fallback, 0.25))
+    # When no trial satisfied even Armijo, every tried step overshot —
+    # continue the backtracking direction with HALF the smallest tried
+    # multiplier (Moré–Thuente's stpmin-ward behavior on hard, near-
+    # divergent starts) instead of an arbitrary constant.
+    return jnp.where(
+        found, best, jnp.where(fallback_ok, fallback, 0.5 * alpha_min)
+    )
 
 
 def init_lbfgs_state(
