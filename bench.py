@@ -78,9 +78,9 @@ ZOO_BENCH = {
         ),
     ),
     "dimenetpp": dict(
-        # fused triplet kernels (ops/pallas/dimenet_triplet): the
-        # [B,A,K,K,int_emb] lattice lives only in VMEM, so the r2 B=8
-        # memory wall is gone
+        # dense all-triplets formulation: the k->j->i contraction is one
+        # broadcast-batched matmul (no gathers), so reverse-over-reverse
+        # forces stay matmuls at every AD order
         batch=32,
         anchor=250.0,  # triplet message passing
         kwargs=dict(compute_dtype="bfloat16"),

@@ -3,31 +3,39 @@
 Reimplements what the reference composes from
 `torch_geometric.nn.models.DimeNetPlusPlus` plus its potential wrapper
 (nablaDFT/dimenetplusplus/dimenetplusplus.py:22-116: per-graph latent →
-swish MLP head → scaler postprocessing, forces via autograd).
+swish MLP head → scaler postprocessing, forces via autograd). Basis
+functions match torch_geometric VERBATIM (trainable Bessel frequencies,
+1/x-enveloped radial and spherical bases), so pretrained checkpoints
+convert as plain weight copies (models/pretrained.py, golden-tested).
 
-TPU design: edge messages live on the fixed-K neighbor axis
-([B, A, K, H]); the triplet aggregation k→j→i is a gather over the
-neighbor list (`ops.graph.gather_neighbor_edges`) followed by a masked
-contraction over the second neighbor axis — the [B,A,K,K,·] intermediate is
-produced and consumed inside one fused XLA loop instead of the reference's
-host-precomputed triplet index arrays. Interaction blocks are wrapped in
-`jax.checkpoint` to keep the double-backward (forces) memory bounded.
+TPU design: DENSE all-pairs/all-triplets formulation. At nablaDFT sizes
+(A <= 62) the dense [B, A(i), A(j)] pair lattice and [B, A, A, A] triplet
+lattice are comparable in size to the K=32 neighbor-list layout but
+contain NO gathers: edge messages live at [b, i, j], triplet aggregation
+is one broadcast-batched matmul (einsum over the k axis), and the strict
+max-neighbor cap is a dense top-k mask. Every operation — including the
+k→j→i triplet contraction that was gather/scatter-bound in r2 — is a
+matmul or elementwise op, so reverse-over-reverse derivative forces
+(forces = -∂E/∂pos, then ∂loss/∂θ through them) stay matmuls at every AD
+order. A per-receiver Pallas kernel formulation was measured 20x SLOWER
+than this dense XLA path at B=8 (sequential (B·A)-program grid of 8×32×64
+matmuls is latency-bound) and was dropped.
 """
 
 from __future__ import annotations
 
-from typing import Union
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import ModelOutput, register_model
 from nabladft_tpu.ops import graph
-from nabladft_tpu.ops.segment import masked_sum
+from nabladft_tpu.ops.graph import dense_topk_mask
+from nabladft_tpu.ops import so3
 from nabladft_tpu.ops.radial import dimenet_bessel_rbf
-from nabladft_tpu.ops.spherical import dimenet_spherical_basis
+from nabladft_tpu.ops.spherical import dimenet_radial_part
 
 
 def swish(x):
@@ -51,15 +59,18 @@ class InteractionPPBlock(nn.Module):
     basis_emb_size: int
     num_before_skip: int
     num_after_skip: int
+    num_spherical: int
+    num_radial: int
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, m, rbf, sbf, nl: graph.NeighborList, trip_mask):
-        # m: [B,A,K,H] message of edge (j->i); rbf: [B,A,K,R]; sbf: [B,A,K,K,S*R]
+    def __call__(self, m, rbf, feats, adj):
+        """m: [B,A,A,H] message of edge (j->i) at [b,i,j]; rbf: [B,A,A,R];
+        feats: precomputed pair features of the Legendre-addition-theorem
+        factorization (see DimeNetPP.__call__)."""
         dt = self.dtype
+        L1, R = self.num_spherical, self.num_radial
         # explicit names mirror torch_geometric InteractionPPBlock fields
-        # (lin_ji/lin_kj/lin_rbf1/lin_rbf2/lin_down/lin_sbf1/lin_sbf2/lin_up)
         x_ji = swish(nn.Dense(self.hidden, dtype=dt, name="lin_ji")(m))
         x_kj = swish(nn.Dense(self.hidden, dtype=dt, name="lin_kj")(m))
         rbf_w = nn.Dense(self.hidden, use_bias=False, dtype=dt, name="rbf2")(
@@ -68,30 +79,50 @@ class InteractionPPBlock(nn.Module):
         x_kj = x_kj * rbf_w
         x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, dtype=dt,
                               name="down")(x_kj))
-        # triplet aggregation: agg[.. k, e] =
-        #   Σ_{k2,c} s8[.. k, k2, c] · w2[c, e] · x_kj[b, idx[.. k], k2, e]
-        # Both paths share this parameterization (identical checkpoint
-        # layout); s8 inherits the trip_mask zeros from sbf, so invalid
-        # triplets contribute nothing without explicit masks.
-        s8 = nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt,
-                      name="sbf1")(sbf)
+
+        # triplet aggregation via the addition theorem — the [B,A,A,A,·]
+        # lattice never exists; everything is pair-shaped matmuls:
+        #   agg[b,i,j,e] = Σ_{k≠i} Σ_{ln} W12[(ln),e]·R̃_ln[b,j,k]·
+        #                   c_l Σ_m Y_lm[b,i,j]·Y_lm[b,j,k]·x_kj[b,j,k,e]
+        # with W12 = sbf1_kernel @ sbf2_kernel (the two reference Dense
+        # layers collapse onto the basis index; same parameters).
+        w1 = self.param(
+            "sbf1_kernel", nn.initializers.lecun_normal(),
+            (L1 * R, self.basis_emb_size),
+        )
         w2 = self.param(
             "sbf2_kernel", nn.initializers.lecun_normal(),
             (self.basis_emb_size, self.int_emb_size),
         )
-        if self.use_pallas:
-            from nabladft_tpu.ops.pallas.dimenet_triplet import triplet_agg
-
-            agg = triplet_agg(s8, x_kj, w2, nl.idx)  # [B,A,K,E] fp32
-        else:
-            # gather messages of edges (k->j) for each edge (j->i)
-            t = graph.gather_neighbor_edges(x_kj, nl.idx)  # [B,A,K,K,E]
-            sbf_w = jnp.einsum("bakqc,ce->bakqe", s8, w2.astype(dt))
-            agg = jnp.sum(
-                jnp.where(trip_mask[..., None], t * sbf_w, 0.0), axis=3
-            )  # [B,A,K,E]
+        w12 = (w1 @ w2).astype(dt)  # [(L+1)·R, E]
+        Yc, Yt, G, Rt = feats["Yc"], feats["Yt"], feats["G"], feats["Rt"]
+        # Q[b,j,(l,m,n),e] = Σ_k G[b,j,k,(lmn)]·x_kj[b,j,k,e]
+        qm = jnp.einsum("bjkq,bjke->bjqe", G, x_kj)
+        q_parts = []
+        for l in range(L1):
+            n_m = 2 * l + 1
+            sl = qm[:, :, R * l * l : R * (l + 1) * (l + 1), :]
+            sl = sl.reshape(*sl.shape[:2], n_m, R, sl.shape[-1])
+            w12_l = w12[l * R : (l + 1) * R]  # [R, E]
+            q_parts.append(jnp.einsum("bjmne,ne->bjme", sl, w12_l))
+        q = jnp.concatenate(q_parts, axis=2)  # [B,A,(L+1)²,E]
+        agg = jnp.einsum("bijq,bjqe->bije", Yc, q)
+        # remove the k == i term (DimeNet excludes the back-triplet):
+        # corr = Σ_l (Σ_m Yc_lm[b,i,j]·Y_lm[b,j,i]) · (Σ_n W12·R̃[b,j,i]) · x_kj[b,j,i]
+        xkj_t = jnp.swapaxes(x_kj, 1, 2)
+        corr = 0.0
+        for l in range(L1):
+            s_l = jnp.einsum(
+                "bijm,bijm->bij",
+                Yc[..., l * l : (l + 1) * (l + 1)],
+                Yt[..., l * l : (l + 1) * (l + 1)],
+            )
+            c_l = jnp.einsum("bijn,ne->bije", Rt[..., l * R : (l + 1) * R],
+                             w12[l * R : (l + 1) * R])
+            corr = corr + s_l[..., None] * c_l
+        agg = agg - corr * xkj_t
         x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt,
-                              name="up")(agg.astype(dt)))
+                              name="up")(agg))
 
         h = x_ji + x_kj
         for k in range(self.num_before_skip):
@@ -99,7 +130,7 @@ class InteractionPPBlock(nn.Module):
         h = swish(nn.Dense(self.hidden, dtype=dt, name="skip")(h)) + m
         for k in range(self.num_after_skip):
             h = ResidualLayer(self.hidden, dtype=dt, name=f"after_skip_{k}")(h)
-        return h
+        return jnp.where(adj[..., None], h, 0.0)
 
 
 class OutputPPBlock(nn.Module):
@@ -110,11 +141,11 @@ class OutputPPBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, m, rbf, nl: graph.NeighborList):
+    def __call__(self, m, rbf, adj):
         dt = self.dtype
         g = nn.Dense(self.hidden, use_bias=False, dtype=dt,
-                     name="lin_rbf")(rbf) * m  # [B,A,K,H]
-        x = masked_sum(g, nl.mask, axis=2).astype(dt)  # [B,A,H] receiver agg
+                     name="lin_rbf")(rbf) * m  # [B,A,A,H]
+        x = jnp.where(adj[..., None], g, 0.0).sum(axis=2).astype(dt)  # [B,A,H]
         x = nn.Dense(self.out_emb_channels, use_bias=False, dtype=dt,
                      name="lin_up")(x)
         for k in range(self.num_layers):
@@ -146,23 +177,20 @@ class DimeNetPP(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
-    # fused triplet-aggregation kernels (ops/pallas/dimenet_triplet): the
-    # [B,A,K,K,int_emb] lattice never hits HBM; differentiable to all
-    # orders (mutually-recursive custom VJPs), so reverse-over-reverse
-    # forces work. "auto" = on for TPU. Same param layout as the XLA path.
-    use_pallas: Union[bool, str] = "auto"
 
     derivative_forces = True
-
-    def _pallas_enabled(self) -> bool:
-        if self.use_pallas == "auto":
-            return jax.default_backend() != "cpu"
-        return bool(self.use_pallas)
 
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
         cdt = jnp.dtype(self.compute_dtype)
-        nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
+        dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+        adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
+        dist = jnp.where(adj, dg.dist, 0.0)
+        # unit[b,i,j] = direction i→j; v(j→i) = -unit[b,i,j]
+        unit = jnp.where(
+            adj[..., None], dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0
+        )
+
         # trainable Bessel frequencies (torch_geometric BesselBasisLayer
         # stores `rbf.freq` as a parameter; init n·π)
         freqs = self.param(
@@ -170,48 +198,73 @@ class DimeNetPP(nn.Module):
             lambda _: jnp.arange(1, self.num_radial + 1, dtype=jnp.float32) * jnp.pi,
         )
         rbf = dimenet_bessel_rbf(
-            nl.dist, self.num_radial, self.cutoff, self.envelope_exponent,
+            dist, self.num_radial, self.cutoff, self.envelope_exponent,
             freqs=freqs,
         )
-        cos_angle, trip_mask = graph.triplet_angles(nl)
-        d_kj = graph.gather_nodes(nl.dist, nl.idx)  # [B,A,K,K]
-        sbf = dimenet_spherical_basis(
-            d_kj, cos_angle, self.num_spherical, self.num_radial, self.cutoff,
+        rbf = jnp.where(adj[..., None], rbf, 0.0).astype(cdt)
+
+        # Legendre-addition-theorem pair features (no [B,A,A,A,·] lattice):
+        #   sbf_ln(d_jk, θ_ijk) = (-1)^l √(4π/(2l+1)) Σ_m Y_lm(û_ij)·
+        #                          R̃_ln(d_jk) Y_lm(û_jk)
+        # ((-1)^l is the parity Y(−û) = (−1)^l Y(û): the i-side unit is
+        # û_ji = −û_ij). Orthonormal real harmonics make this exact.
+        L1, R = self.num_spherical, self.num_radial
+        y = so3.real_sph_harm(unit, L1 - 1, normalized=True)
+        y = jnp.where(adj[..., None], y, 0.0).astype(cdt)  # [B,A,A,(L)²]
+        c_lm = np.concatenate([
+            np.full(2 * l + 1, (-1.0) ** l * np.sqrt(4 * np.pi / (2 * l + 1)))
+            for l in range(L1)
+        ]).astype(np.float32)
+        yc = y * jnp.asarray(c_lm, cdt)
+        rad = dimenet_radial_part(
+            dist, self.num_spherical, self.num_radial, self.cutoff,
             self.envelope_exponent,
         )
-        sbf = jnp.where(trip_mask[..., None], sbf, 0.0).astype(cdt)
-        rbf = jnp.where(nl.mask[..., None], rbf, 0.0).astype(cdt)
+        rad = jnp.where(adj[..., None], rad, 0.0).astype(cdt)  # [B,A,A,(L)·R]
+        g_parts = [
+            (y[..., l * l : (l + 1) * (l + 1), None]
+             * rad[..., None, l * R : (l + 1) * R]).reshape(
+                *adj.shape, (2 * l + 1) * R)
+            for l in range(L1)
+        ]
+        feats = {
+            "Yc": yc,
+            "Yt": jnp.swapaxes(y, 1, 2),
+            "Rt": jnp.swapaxes(rad, 1, 2),
+            "G": jnp.concatenate(g_parts, axis=-1),  # [B,A,A, R·(L)²]
+        }
 
-        # embedding block
+        # embedding block: m[b,i,j] for edge (j→i)
         x = nn.Embed(self.num_elements, self.hidden, dtype=cdt, name="atom_embedding")(batch.z)
-        x_j = graph.gather_nodes(x, nl.idx)
-        x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
         rbf_emb = swish(nn.Dense(self.hidden, dtype=cdt, name="rbf_embed")(rbf))
+        xi = jnp.broadcast_to(x[:, :, None, :], (*adj.shape, x.shape[-1]))
+        xj = jnp.broadcast_to(x[:, None, :, :], (*adj.shape, x.shape[-1]))
         m = swish(
             nn.Dense(self.hidden, dtype=cdt, name="edge_embed")(
-                jnp.concatenate([x_i, x_j, rbf_emb], axis=-1)
+                jnp.concatenate([xi, xj, rbf_emb], axis=-1)
             )
         )
+        m = jnp.where(adj[..., None], m, 0.0)
 
         p = OutputPPBlock(
             self.hidden, self.out_emb_channels, self.node_latent_dim,
             self.num_output_layers, dtype=cdt, name="output_0",
-        )(m, rbf, nl)
+        )(m, rbf, adj)
         block_cls = nn.remat(InteractionPPBlock) if self.remat else InteractionPPBlock
-        pallas_on = self._pallas_enabled()
         for b in range(self.num_blocks):
             m = block_cls(
                 self.hidden, self.int_emb_size, self.basis_emb_size,
-                self.num_before_skip, self.num_after_skip, dtype=cdt,
-                use_pallas=pallas_on, name=f"interaction_{b}",
-            )(m, rbf, sbf, nl, trip_mask)
+                self.num_before_skip, self.num_after_skip,
+                self.num_spherical, self.num_radial, dtype=cdt,
+                name=f"interaction_{b}",
+            )(m, rbf, feats, adj)
             p = p + OutputPPBlock(
                 self.hidden, self.out_emb_channels, self.node_latent_dim,
                 self.num_output_layers, dtype=cdt, name=f"output_{b + 1}",
-            )(m, rbf, nl)
+            )(m, rbf, adj)
 
         # per-graph latent -> swish MLP head (reference dimenetplusplus.py:83-91)
-        latent = masked_sum(p, batch.node_mask, axis=1).astype(jnp.float32)
+        latent = jnp.where(batch.node_mask[..., None], p, 0.0).sum(1).astype(jnp.float32)
         h = swish(nn.Dense(self.node_latent_dim)(latent))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))

@@ -206,7 +206,7 @@ def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict) -> Dict:
         _fill(p, f"{t}/lin_kj/bias", state[b + "lin_kj.bias"])
         _fill(p, f"{t}/rbf1/kernel", _t(state[b + "lin_rbf1.weight"]))
         _fill(p, f"{t}/rbf2/kernel", _t(state[b + "lin_rbf2.weight"]))
-        _fill(p, f"{t}/sbf1/kernel", _t(state[b + "lin_sbf1.weight"]))
+        _fill(p, f"{t}/sbf1_kernel", _t(state[b + "lin_sbf1.weight"]))
         _fill(p, f"{t}/sbf2_kernel", _t(state[b + "lin_sbf2.weight"]))
         _fill(p, f"{t}/down/kernel", _t(state[b + "lin_down.weight"]))
         _fill(p, f"{t}/up/kernel", _t(state[b + "lin_up.weight"]))

@@ -131,35 +131,93 @@ def dimenet_spherical_basis(
 
     l_max = num_spherical - 1
     zeros = np.asarray(spherical_bessel_zeros(l_max, num_radial))  # [L+1, R]
-    d_scaled = d / cutoff
-    x = d_scaled[..., None, None] * zeros  # [..., L+1, R]
-    jl_all = spherical_bessel_jl(x.reshape(*x.shape[:-2], -1), l_max)
-    # jl_all: [..., (L+1)*R, L+1]; keep j_l at the zeros of the same l
-    jl_all = jl_all.reshape(*x.shape[:-2], l_max + 1, num_radial, l_max + 1)
-    radial = jnp.stack(
-        [jl_all[..., l, :, l] for l in range(l_max + 1)], axis=-2
-    )  # [..., L+1, R]
     # tg normalization sqrt(2) / |j_{l+1}(z_ln)| (dimenet_utils.bessel_basis)
-    zeros_t = zeros
-    jlp1 = np.stack(
-        [
-            _np_jl(zeros_t[l], l + 1)
-            for l in range(l_max + 1)
-        ]
-    )  # [L+1, R]
-    norm = np.sqrt(2.0) / np.abs(jlp1)
-    radial = radial * norm
+    jlp1 = np.stack([_np_jl(zeros[l], l + 1) for l in range(l_max + 1)])
+    norm = np.sqrt(2.0) / np.abs(jlp1)  # [L+1, R]
+
+    # FLAT layout: every intermediate is 1-D [N]. Lattice-shaped temps with
+    # tiny trailing dims ([.., L+1, R]) pad 2.7-16x on (8,128) TPU tiles and
+    # reverse-over-reverse stores a copy per AD lane — at B=16 that alone
+    # OOM'd the 16 GB chip. Only the final [N, S*R] stack pays lane padding.
+    lead = d.shape
+    df = d.reshape(-1) / cutoff
+    cf = cos_angle.reshape(-1)
+    x_safe = jnp.where(df > 1e-8, df, 1.0)
     # tg Envelope: u(x)/x — the 1/x factor is kept (tg SphericalBasisLayer
     # applies self.envelope(dist) with dist already scaled by 1/cutoff)
-    x_safe = jnp.where(d_scaled > 1e-8, d_scaled, 1.0)
-    env = polynomial_envelope(d_scaled, envelope_exponent) / x_safe
-    radial = radial * env[..., None, None]
-    # angular: Y_l0(α) ∝ sqrt((2l+1)/4π) P_l(cos α)
-    pl = legendre_polynomials(cos_angle, l_max)  # [..., L+1]
-    ls = np.arange(l_max + 1)
-    ang = pl * np.sqrt((2 * ls + 1) / (4 * np.pi))
-    out = radial * ang[..., None]
-    return out.reshape(*out.shape[:-2], (l_max + 1) * num_radial)
+    env = polynomial_envelope(df, envelope_exponent) / x_safe
+
+    # legendre P_l(cos) by recursion (flat)
+    pls = [jnp.ones_like(cf), cf]
+    for ll in range(2, l_max + 1):
+        pls.append(((2 * ll - 1) * cf * pls[ll - 1] - (ll - 1) * pls[ll - 2]) / ll)
+
+    def jl_flat(x, l):
+        xs = jnp.maximum(x, 1e-6)
+        j = [jnp.sin(xs) / xs]
+        if l >= 1:
+            j.append(jnp.sin(xs) / xs**2 - jnp.cos(xs) / xs)
+        for ll in range(2, l + 1):
+            j.append((2 * ll - 1) / xs * j[ll - 1] - j[ll - 2])
+        if l < 2:
+            return j[l]
+        return jnp.where(xs > l + 1.0, j[l], _jl_series(xs, l))
+
+    outs = []
+    for l in range(l_max + 1):
+        ang = float(np.sqrt((2 * l + 1) / (4 * np.pi)))
+        prefac = env * (ang * pls[l])
+        for n in range(num_radial):
+            outs.append(prefac * (float(norm[l, n]) * jl_flat(float(zeros[l, n]) * df, l)))
+    out = jnp.stack(outs, axis=-1)  # [N, (L+1)*R]
+    return out.reshape(*lead, (l_max + 1) * num_radial)
+
+
+def dimenet_radial_part(
+    d: jnp.ndarray,
+    num_spherical: int,
+    num_radial: int,
+    cutoff: float,
+    envelope_exponent: int = 5,
+) -> jnp.ndarray:
+    """The radial factor of `dimenet_spherical_basis` WITHOUT the angular
+    Legendre term: R̃_ln(x) = √2/|j_{l+1}(z_ln)| · j_l(z_ln·x) · u(x)/x.
+
+    Used by the Legendre-addition-theorem factorization of the DimeNet++
+    triplet step (models/dimenetpp.py): with orthonormal real harmonics,
+    P_l(û·v̂) = (4π/(2l+1)) Σ_m Y_lm(û) Y_lm(v̂), so
+    sbf_ln(d_jk, θ_ijk) = √(4π/(2l+1)) Σ_m Y_lm(û_ji) · R̃_ln(d_jk) Y_lm(û_jk)
+    and the [B,A,A,A,S·R] triplet lattice never needs to exist.
+    Returns [..., (L+1)·R], index l·R + n. Flat-layout internals (see
+    dimenet_spherical_basis)."""
+    from nabladft_tpu.ops.radial import polynomial_envelope
+
+    l_max = num_spherical - 1
+    zeros = np.asarray(spherical_bessel_zeros(l_max, num_radial))
+    jlp1 = np.stack([_np_jl(zeros[l], l + 1) for l in range(l_max + 1)])
+    norm = np.sqrt(2.0) / np.abs(jlp1)
+    lead = d.shape
+    df = d.reshape(-1) / cutoff
+    x_safe = jnp.where(df > 1e-8, df, 1.0)
+    env = polynomial_envelope(df, envelope_exponent) / x_safe
+
+    def jl_flat(x, l):
+        xs = jnp.maximum(x, 1e-6)
+        j = [jnp.sin(xs) / xs]
+        if l >= 1:
+            j.append(jnp.sin(xs) / xs**2 - jnp.cos(xs) / xs)
+        for ll in range(2, l + 1):
+            j.append((2 * ll - 1) / xs * j[ll - 1] - j[ll - 2])
+        if l < 2:
+            return j[l]
+        return jnp.where(xs > l + 1.0, j[l], _jl_series(xs, l))
+
+    outs = []
+    for l in range(l_max + 1):
+        for n in range(num_radial):
+            outs.append(env * (float(norm[l, n]) * jl_flat(float(zeros[l, n]) * df, l)))
+    out = jnp.stack(outs, axis=-1)
+    return out.reshape(*lead, (l_max + 1) * num_radial)
 
 
 def _np_jl(x: np.ndarray, l: int) -> np.ndarray:

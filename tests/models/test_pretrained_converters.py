@@ -404,7 +404,7 @@ def test_dimenetpp_converter_golden(rng):
     state = dimenetpp_state(np.random.default_rng(13))
     golden = dimenetpp_torch_forward(state, batch).numpy()
 
-    model = create_model("dimenetpp", **DPP, use_pallas=False)
+    model = create_model("dimenetpp", **DPP)
     np_state = {k: v.numpy() for k, v in state.items()}
     params = convert_state_dict("dimenetpp", np_state, model, batch)
     ours = np.asarray(model.apply(params, batch)["energy"])
