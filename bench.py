@@ -83,7 +83,7 @@ ZOO_BENCH = {
         # forces stay matmuls at every AD order
         batch=32,
         anchor=250.0,  # triplet message passing
-        kwargs=dict(compute_dtype="bfloat16"),
+        kwargs=dict(compute_dtype="bfloat16", remat=False),
     ),
     "graphormer3d": dict(
         batch=128,
