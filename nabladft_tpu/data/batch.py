@@ -59,6 +59,9 @@ class MolBatch:
     overlap: Optional[jnp.ndarray] = None
     core: Optional[jnp.ndarray] = None
     orb_mask: Optional[jnp.ndarray] = None
+    # periodic systems (OC-style data; None for nablaDFT molecules):
+    # [B, 3, 3] lattice vectors as rows (ASE convention)
+    cell: Optional[jnp.ndarray] = None
 
     @property
     def num_mols(self) -> int:

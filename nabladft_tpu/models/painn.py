@@ -57,7 +57,15 @@ class PaiNNMessage(nn.Module):
     @nn.compact
     def __call__(self, s, v, feats):
         """feats: dict with dist, rbf_env [B,A,A,R], rbfp, unit_t [B,A,3,A],
-        envf [B,A,A] (premasked cutoff envelope). rbf_env/rbfp premasked."""
+        envf [B,A,A] (premasked cutoff envelope). rbf_env/rbfp premasked.
+
+        PBC mode (feats carries an ``nl`` PBCNeighborList): the same
+        parameters applied over a [B,A,K] neighbor-list lattice, where each
+        of the K slots is a (sender atom, periodic image) candidate — the
+        TPU analog of the reference's edge-list message passing over
+        radius_graph_pbc output (painn_pyg/painn.py:420-468). Checkpoints
+        are layout-independent: identical parameter tree in both modes.
+        """
         f = self.hidden
         r = feats["rbf_env"].shape[-1]
         phi = MLP([f, 3 * f], dtype=self.dtype)(s)  # [B,A,3F] (node-level)
@@ -65,6 +73,24 @@ class PaiNNMessage(nn.Module):
         b = self.param("filter_bias", nn.initializers.zeros, (3 * f,))
         v_flat = v.reshape(*v.shape[:2], 3 * f)  # [B,A,3,F] -> c-major flat
         wc = w.astype(self.dtype)
+        if feats.get("nl") is not None:
+            nl = feats["nl"]
+            bc = b.astype(self.dtype)
+            # per-edge filter (rbf@W + b)·env; rbf_env/envf are premasked so
+            # padded slots contribute exactly zero
+            filt = feats["rbf_env"] @ wc + bc * feats["envf"][..., None]
+            phi_j = graph.gather_nodes(phi, nl.idx)  # [B,A,K,3F]
+            v_j = graph.gather_nodes(v_flat, nl.idx)  # [B,A,K,3F]
+            prod = filt * phi_j
+            ds = jnp.sum(prod[..., :f], axis=2)
+            prod1 = prod[..., f : 2 * f]
+            dv_flat = jnp.concatenate(
+                [jnp.sum(prod1 * v_j[..., c * f : (c + 1) * f], axis=2) for c in range(3)],
+                axis=-1,
+            )
+            dvu = jnp.einsum("bikc,bikf->bicf", nl.unit.astype(prod.dtype), prod[..., 2 * f :])
+            dv_flat = dv_flat + dvu.reshape(*ds.shape[:2], 3 * f)
+            return ds, dv_flat.reshape(*v.shape)
         if self.use_pallas == "off":
             ds, dv_flat = painn_message_reference(
                 feats["rbf_env"], phi, v_flat, feats["unit_t"], wc
@@ -163,6 +189,12 @@ class PaiNN(nn.Module):
     # "train" = custom-JVP dual kernels for the surrogate training pass
     # (engine force_grads="pallas"). "full" is a legacy alias of "fused".
     use_pallas: str = "off"
+    # periodic boundary conditions (reference painn_pyg use_pbc,
+    # painn.py:37/419: radius_graph_pbc + symmetrize_edges). Requires
+    # batch.cell; runs the XLA neighbor-list message path (the fused dense
+    # kernels are the molecular hot path — nablaDFT data has no PBC).
+    pbc: bool = False
+    pbc_images: int = 1
 
     derivative_forces = True
 
@@ -174,13 +206,12 @@ class PaiNN(nn.Module):
         f = self.hidden
         mode = self._mode()
         cdt = jnp.dtype(self.compute_dtype)
-        dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
-        adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
-        dist = jnp.where(adj, dg.dist, 0.0)
-        unit = jnp.where(adj[..., None], dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0)
-        unit_t = jnp.swapaxes(unit, 2, 3)  # [B,A,3,A] for the kernels' MXU u-term
+        if self.pbc:
+            if batch.cell is None:
+                raise ValueError("PaiNN(pbc=True) requires batch.cell [B,3,3]")
+            mode = "off"  # the PBC path is plain XLA (see class docstring)
 
-        def filt(d):
+        def filt(d, edge_mask):
             if self.rbf == "gaussian":
                 rb = radial.gaussian_rbf(d, self.n_rbf, self.cutoff)
             else:
@@ -189,29 +220,55 @@ class PaiNN(nn.Module):
                 env = radial.polynomial_envelope(d / self.cutoff, self.envelope_exponent)
             else:
                 env = radial.cosine_cutoff(d, self.cutoff)
-            return jnp.where(adj[..., None], rb * env[..., None], 0.0).astype(cdt)
+            return jnp.where(edge_mask[..., None], rb * env[..., None], 0.0).astype(cdt)
 
-        if self.envelope == "polynomial":
-            envp = radial.polynomial_envelope(dist / self.cutoff, self.envelope_exponent)
+        def envelope(d, edge_mask):
+            if self.envelope == "polynomial":
+                envp = radial.polynomial_envelope(d / self.cutoff, self.envelope_exponent)
+            else:
+                envp = radial.cosine_cutoff(d, self.cutoff)
+            return jnp.where(edge_mask, envp, 0.0).astype(cdt)
+
+        if self.pbc:
+            nl = graph.pbc_neighbor_list(
+                batch.pos, batch.node_mask, batch.cell, self.cutoff,
+                self.max_neighbors, n_images=self.pbc_images, symmetrize=True,
+            )
+            feats = {
+                "nl": nl,
+                "dist": nl.dist,
+                "envf": envelope(nl.dist, nl.mask),
+                "rbf_env": filt(nl.dist, nl.mask),
+                "rbfp": None,
+                "unit_t": None,
+            }
         else:
-            envp = radial.cosine_cutoff(dist, self.cutoff)
-        feats = {
-            "dist": dist,
-            "envf": jnp.where(adj, envp, 0.0).astype(cdt),
-            "unit_t": unit_t.astype(cdt),
-            "rbfp": None,
-        }
-        if mode == "off":
-            feats["rbf_env"] = filt(dist)
-        elif mode == "fused":
-            # the kernel VJP folds the basis chain rule into g_dist, so the
-            # basis tensors themselves must not carry an AD graph
-            rbf_env, rbfp = jax.jvp(filt, (dist,), (jnp.ones_like(dist),))
-            feats["rbf_env"] = jax.lax.stop_gradient(rbf_env)
-            feats["rbfp"] = jax.lax.stop_gradient(rbfp)
-        else:  # train: rbf tangents must flow into the dual kernel
-            feats["rbf_env"] = filt(dist)
-            feats["rbfp"] = jnp.zeros((), cdt)  # unused by the train op
+            dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+            adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
+            dist = jnp.where(adj, dg.dist, 0.0)
+            unit = jnp.where(
+                adj[..., None], dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0
+            )
+            unit_t = jnp.swapaxes(unit, 2, 3)  # [B,A,3,A] for the kernels' MXU u-term
+            feats = {
+                "dist": dist,
+                "envf": envelope(dist, adj),
+                "unit_t": unit_t.astype(cdt),
+                "rbfp": None,
+            }
+            if mode == "off":
+                feats["rbf_env"] = filt(dist, adj)
+            elif mode == "fused":
+                # the kernel VJP folds the basis chain rule into g_dist, so the
+                # basis tensors themselves must not carry an AD graph
+                rbf_env, rbfp = jax.jvp(
+                    lambda d: filt(d, adj), (dist,), (jnp.ones_like(dist),)
+                )
+                feats["rbf_env"] = jax.lax.stop_gradient(rbf_env)
+                feats["rbfp"] = jax.lax.stop_gradient(rbfp)
+            else:  # train: rbf tangents must flow into the dual kernel
+                feats["rbf_env"] = filt(dist, adj)
+                feats["rbfp"] = jnp.zeros((), cdt)  # unused by the train op
 
         s = nn.Embed(self.num_elements, f, dtype=cdt, name="atom_embedding")(batch.z)
         v = jnp.zeros((*s.shape[:2], 3, f), cdt)

@@ -24,10 +24,12 @@ Two graph views, both derived from the same distance matrix:
 
 from __future__ import annotations
 
+import itertools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-10
 _BIG = 1e10
@@ -196,6 +198,137 @@ def edge_rotation_vectors(
     """
     zhat = jnp.zeros_like(unit).at[..., 2].set(1.0)
     return jnp.where(mask[..., None], unit, zhat)
+
+
+class PBCNeighborList(NamedTuple):
+    """Fixed-K neighbor view under periodic boundary conditions.
+
+    Same consumer contract as :class:`NeighborList` (idx/mask/diff/dist/unit;
+    ``idx`` addresses the *sender atom*, ``diff`` already includes the lattice
+    shift of the selected periodic image), plus the integer image offset so
+    edge identities (j, i, offset) stay recoverable.
+    """
+
+    idx: jnp.ndarray  # [B, A, K] int32 sender atom
+    mask: jnp.ndarray  # [B, A, K] bool
+    diff: jnp.ndarray  # [B, A, K, 3]  pos[j] + offset@cell - pos[i]
+    dist: jnp.ndarray  # [B, A, K]
+    unit: jnp.ndarray  # [B, A, K, 3]
+    offset: jnp.ndarray  # [B, A, K, 3] int32 lattice image of the sender
+
+
+def pbc_image_offsets(n_images: int = 1) -> np.ndarray:
+    """Integer lattice offsets for periodic images, lexicographic over
+    ``range(-n, n+1)^3`` so that ``offsets[o] == -offsets[O-1-o]`` — offset
+    negation (the counter-edge map) is exactly index reversal, which keeps
+    edge symmetrization a pure slice-reverse on the image axis."""
+    r = range(-n_images, n_images + 1)
+    return np.array(list(itertools.product(r, r, r)), dtype=np.int32)
+
+
+def pbc_neighbor_list(
+    pos: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    cell: jnp.ndarray,
+    cutoff: float,
+    max_neighbors: int,
+    n_images: int = 1,
+    pbc: Tuple[bool, bool, bool] = (True, True, True),
+    symmetrize: bool = True,
+) -> PBCNeighborList:
+    """Strict top-k in-cutoff neighbors under periodic boundary conditions.
+
+    TPU-native replacement for the reference's host-side
+    ``radius_graph_pbc`` + ``symmetrize_edges`` pair (painn_pyg/utils.py:318,
+    painn_pyg/painn.py:157-304): instead of building ragged edge lists with
+    data-dependent image counts on the host, candidates live on a static
+    ``[B, A, A, O]`` lattice (O = (2·n_images+1)^3 periodic images of each
+    sender) and selection is one ``lax.top_k`` over the flattened (A·O)
+    candidate axis — fixed shapes, fused on device.
+
+      * ``cell``: [B, 3, 3], rows are lattice vectors (ASE convention).
+      * Self-pairs are excluded only in the home image (an atom genuinely
+        neighbors its own periodic copies).
+      * Axes with ``pbc[axis] == False`` admit only offset-0 images.
+      * ``symmetrize=True`` reproduces the reference's counter-edge
+        guarantee (every kept edge (j→i, S) has its mirror (i→j, −S)):
+        the selected-edge mask is OR-ed with its transpose (image axis
+        reversed — see :func:`pbc_image_offsets`) and the list rebuilt.
+        The reference *grows* the ragged edge list when mirrors are added
+        (painn.py:246-258); the static-shape analog used here is a 2K
+        output budget for the symmetrized list (farther edges are dropped
+        nearest-first in the pathological case where a receiver accrues
+        more than 2K candidates). With nablaDFT-scale cutoff graphs
+        (K ≥ A) no truncation occurs and symmetry is exact.
+    """
+    b, a = pos.shape[:2]
+    offsets = pbc_image_offsets(n_images)  # [O, 3] numpy, static
+    keep = np.ones(len(offsets), dtype=bool)
+    for ax in range(3):
+        if not pbc[ax]:
+            keep &= offsets[:, ax] == 0
+    # keep the image axis length static: disallowed images are masked, not
+    # dropped, so offset-negation stays index reversal
+    allowed = jnp.asarray(keep)
+    offs = jnp.asarray(offsets, jnp.float32)  # [O, 3]
+    n_off = len(offsets)
+    center = n_off // 2  # the (0,0,0) image
+
+    shifts = jnp.einsum("ox,bxy->boy", offs, cell.astype(jnp.float32))  # [B,O,3]
+    # diff[b,i,j,o] = pos[j] + shift[o] - pos[i]
+    diff = (
+        pos[:, None, :, None, :] + shifts[:, None, None, :, :] - pos[:, :, None, None, :]
+    )  # [B, A, A, O, 3]
+    pair = node_mask[:, :, None] & node_mask[:, None, :]  # [B, A, A]
+    self_home = jnp.eye(a, dtype=bool)[None, :, :, None] & (
+        jnp.arange(n_off) == center
+    )[None, None, None, :]
+    cand = pair[..., None] & allowed[None, None, None, :] & ~self_home
+    d2 = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, _EPS))
+    adj = cand & (dist < cutoff)
+
+    k = min(max_neighbors, a * n_off)
+
+    def _select(adj_mask, kk):
+        neg = jnp.where(adj_mask, -dist, -_BIG).reshape(b, a, a * n_off)
+        vals, flat = jax.lax.top_k(neg, kk)  # [B, A, K]
+        mask = vals > -_BIG * 0.5
+        j_idx = (flat // n_off).astype(jnp.int32)
+        o_idx = (flat % n_off).astype(jnp.int32)
+        return j_idx, o_idx, mask, flat
+
+    j_idx, o_idx, mask, flat = _select(adj, k)
+    if symmetrize:
+        # selected-edge mask scattered back onto the candidate lattice
+        sel = (
+            jnp.zeros((b, a, a * n_off), bool)
+            .at[jnp.arange(b)[:, None, None], jnp.arange(a)[None, :, None], flat]
+            .set(mask)
+            .reshape(b, a, a, n_off)
+        )
+        # counter-edge of (receiver i, sender j, image o) is
+        # (receiver j, sender i, image O-1-o)
+        sel_t = jnp.flip(jnp.swapaxes(sel, 1, 2), axis=-1)
+        sym = (sel | sel_t) & adj
+        # the mirrors can push a receiver past its original budget; the
+        # reference grows the ragged edge list (painn.py:246-258), the
+        # static-shape analog is a 2K output budget (a receiver's
+        # symmetrized candidates are its own K plus mirrors of edges where
+        # it was the sender — ≤ K per counterpart in practice)
+        j_idx, o_idx, mask, flat = _select(sym, min(2 * k, a * n_off))
+
+    bi = jnp.arange(b)[:, None, None]
+    ii = jnp.arange(a)[None, :, None]
+    dsel = diff[bi, ii, j_idx, o_idx]  # [B, A, K, 3]
+    dd = dist[bi, ii, j_idx, o_idx]
+    dd = jnp.where(mask, dd, 0.0)
+    unit = jnp.where(mask[..., None], dsel / jnp.maximum(dd, _EPS)[..., None], 0.0)
+    dsel = jnp.where(mask[..., None], dsel, 0.0)
+    off_sel = jnp.asarray(offsets)[o_idx] * mask[..., None].astype(jnp.int32)
+    return PBCNeighborList(
+        idx=j_idx, mask=mask, diff=dsel, dist=dd, unit=unit, offset=off_sel
+    )
 
 
 def dense_from_neighbor_list(nl: NeighborList, a_dim: int):
