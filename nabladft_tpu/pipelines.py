@@ -132,6 +132,11 @@ def build_trainer(cfg: Dict[str, Any], datamodule: Optional[DataModule] = None) 
 
         loggers.append(WandbLogger(cfg["wandb"].get("project", "nablaDFT-tpu"),
                                    name=cfg.get("name")))
+    if cfg.get("tensorboard", {}).get("enable"):
+        from nabladft_tpu.train.loggers import TensorBoardLogger
+
+        out_dir = Path(cfg.get("output_dir", "outputs")) / cfg.get("name", m["name"])
+        loggers.append(TensorBoardLogger(out_dir / "tb"))
     return Trainer(model, tcfg, loggers=MultiLogger(loggers), eval_model=eval_model)
 
 

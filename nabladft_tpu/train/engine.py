@@ -69,6 +69,9 @@ class TrainerConfig:
     lookahead_k: int = 0
     lookahead_alpha: float = 0.5
     log_every_n_steps: int = 50
+    # parameter-histogram summaries every N steps (tensorboard backend
+    # only; PhiSNet legacy tensorboardX parity). None disables.
+    hist_every_n_steps: Optional[int] = None
     ckpt_dir: Optional[str] = None
     save_top_k: int = 3
     monitor: str = "val/loss"
@@ -498,6 +501,11 @@ class Trainer:
                             host["lr"] = lr
                         self.loggers.log_metrics(host, step)
                         t_last = now
+                    if (
+                        cfg.hist_every_n_steps
+                        and step % cfg.hist_every_n_steps == 0
+                    ):
+                        self.loggers.log_histograms(self.state.params, step)
                     if (
                         cfg.val_every_n_steps
                         and step % cfg.val_every_n_steps == 0

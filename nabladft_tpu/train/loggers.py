@@ -24,6 +24,12 @@ class Logger:
     def log_hyperparams(self, params: Dict) -> None:
         pass
 
+    def log_histograms(self, params, step: int) -> None:
+        """Parameter histograms (a flax param pytree). No-op by default —
+        only the tensorboard backend renders them (PhiSNet legacy parity:
+        phisnet/training logs param histograms via tensorboardX)."""
+        pass
+
     def finalize(self) -> None:
         pass
 
@@ -90,6 +96,65 @@ class WandbLogger(Logger):
         self._run.finish()
 
 
+class TensorBoardLogger(Logger):
+    """Scalar summaries + parameter histograms in tensorboard event files.
+
+    Reference parity: the PhiSNet legacy trainer writes tensorboardX
+    summaries including per-parameter histograms (phisnet/train.py
+    SummaryWriter usage); implemented here on torch's bundled
+    SummaryWriter (no tensorflow needed) so `tensorboard --logdir` reads
+    the runs directly.
+    """
+
+    def __init__(self, log_dir: Path):
+        from torch.utils.tensorboard import SummaryWriter  # deferred
+
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        self._writer = SummaryWriter(log_dir=str(log_dir))
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        for k, v in metrics.items():
+            self._writer.add_scalar(k, float(v), global_step=step)
+
+    def log_hyperparams(self, params: Dict) -> None:
+        # flatten to scalars/strings; SummaryWriter hparams need flat dicts
+        flat = {}
+
+        def walk(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix}{k}." if not prefix else f"{prefix}{k}.", v)
+            else:
+                flat[prefix.rstrip(".")] = (
+                    node if isinstance(node, (int, float, bool)) else str(node)
+                )
+
+        walk("", params or {})
+        if flat:
+            self._writer.add_hparams(flat, {"hparams/recorded": 1.0},
+                                     run_name=".")
+
+    def log_histograms(self, params, step: int) -> None:
+        import numpy as np
+
+        try:
+            import jax
+        except Exception:  # pragma: no cover
+            return
+        leaves = jax.tree_util.tree_leaves_with_path(params)
+        for path, leaf in leaves:
+            name = "/".join(
+                getattr(p, "key", getattr(p, "name", str(p))) for p in path
+            )
+            arr = np.asarray(leaf, dtype=np.float32)
+            if arr.size:
+                self._writer.add_histogram(f"params/{name}", arr, global_step=step)
+
+    def finalize(self) -> None:
+        self._writer.flush()
+        self._writer.close()
+
+
 class MultiLogger(Logger):
     def __init__(self, loggers: List[Logger]):
         self.loggers = loggers
@@ -101,6 +166,10 @@ class MultiLogger(Logger):
     def log_hyperparams(self, params: Dict) -> None:
         for lg in self.loggers:
             lg.log_hyperparams(params)
+
+    def log_histograms(self, params, step: int) -> None:
+        for lg in self.loggers:
+            lg.log_histograms(params, step)
 
     def finalize(self) -> None:
         for lg in self.loggers:
