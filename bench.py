@@ -79,8 +79,13 @@ ZOO_BENCH = {
     ),
     "dimenetpp": dict(
         # dense all-triplets formulation: the k->j->i contraction is one
-        # broadcast-batched matmul (no gathers), so reverse-over-reverse
-        # forces stay matmuls at every AD order
+        # broadcast-batched matmul (no gathers), so derivative forces stay
+        # matmuls at every AD order; trained through the generic
+        # forward-over-reverse surrogate (one reverse pass for F + one
+        # grad-of-jvp for the mixed term) instead of reverse-over-reverse
+        # (surrogate force grads measured identical step time at B=32 —
+        # the dense formulation is not second-order-bound; direct keeps
+        # the compile fast)
         batch=32,
         anchor=250.0,  # triplet message passing
         kwargs=dict(compute_dtype="bfloat16", remat=False),
@@ -230,6 +235,10 @@ def bench_zoo(name: str) -> None:
     from nabladft_tpu.train.profiling import measured_peak_flops
 
     spec = ZOO_BENCH[name]
+    import os
+
+    if os.environ.get("NABLA_BENCH_BATCH"):
+        spec = {**spec, "batch": int(os.environ["NABLA_BENCH_BATCH"])}
     n_chips = len(jax.devices())
     model = create_model(name, **spec["kwargs"])
     cfg = TrainerConfig(

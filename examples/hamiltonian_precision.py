@@ -204,6 +204,12 @@ def main():
     ap.add_argument("--target", type=float, default=1e-4)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--state", default=None,
+        help="msgpack path for periodic TrainState snapshots; if the file "
+             "exists the run RESUMES from it (long precision runs survive "
+             "session interruptions)",
+    )
     args = ap.parse_args()
 
     from nabladft_tpu.models import create_model
@@ -240,13 +246,31 @@ def main():
     curve = []
 
     # chunked fit with early stop at the target precision
-    chunk_epochs = max(1, 400 // n_batches)
+    chunk_epochs = max(1, min(400 // n_batches, cfg.max_epochs))
     total_epochs = 0
     best = float("inf")
+    state_path = Path(args.state) if args.state else None
+    if state_path and state_path.exists():
+        import flax.serialization
+
+        trainer.init_state(batches[0])
+        trainer.state = flax.serialization.from_bytes(
+            trainer.state, state_path.read_bytes()
+        )
+        side = json.loads(state_path.with_suffix(".json").read_text())
+        total_epochs = side["total_epochs"]
+        curve = side["curve"]
+        t0 = time.time() - side["wall_s"]
+        trainer._restore_aux(side.get("aux"))
+        best = min((c["h_mae"] for c in curve), default=float("inf"))
+        print(f"resumed at {total_epochs} epochs, best {best:.3e}", flush=True)
     while total_epochs < cfg.max_epochs:
         # fit() continues from the existing TrainState; max_epochs is
-        # per-call, so each chunk adds chunk_epochs of training
-        trainer.cfg = TrainerConfig(**{**cfg.__dict__, "max_epochs": chunk_epochs})
+        # per-call (max_steps must NOT leak in: fit stops the whole run
+        # once the cumulative state.step crosses it)
+        trainer.cfg = TrainerConfig(
+            **{**cfg.__dict__, "max_epochs": chunk_epochs, "max_steps": None}
+        )
         trainer.fit(dm)
         total_epochs += chunk_epochs
         # eval on the training set (overfit target)
@@ -261,6 +285,17 @@ def main():
         curve.append({"epochs": total_epochs, "h_mae": h_mae,
                       "wall_s": round(time.time() - t0, 1)})
         print(json.dumps(curve[-1]), flush=True)
+        if state_path:
+            import flax.serialization
+
+            state_path.write_bytes(
+                flax.serialization.to_bytes(trainer.state)
+            )
+            state_path.with_suffix(".json").write_text(json.dumps({
+                "total_epochs": total_epochs, "curve": curve,
+                "wall_s": round(time.time() - t0, 1),
+                "aux": trainer._ckpt_aux(),
+            }))
         if h_mae <= args.target:
             break
 

@@ -97,7 +97,10 @@ def _grid_mats(
     y = so3.real_sph_harm_np(pts, l_max)  # orthonormal convention
     w = (np.outer(wt, np.ones(n_phi)) * (2 * np.pi / n_phi)).ravel()
     from_grid = (y * w[:, None]).T  # quadrature analysis: ∫ f Y dΩ
-    return y.astype(np.float32), from_grid.astype(np.float32)
+    # keep float64: the pallas grid-factorization (escn_layer.
+    # _grid_factor_tables) asserts exact rank-1 separability at 1e-9;
+    # jnp.asarray at the model use sites downcasts to f32 under default x64.
+    return y, from_grid
 
 
 def _trunc_sizes(l_max: int, m_max: int) -> List[int]:

@@ -36,6 +36,7 @@ from nabladft_tpu.ops import so3
 from nabladft_tpu.ops.pallas.escn_layer import (
     F32,
     _dsilu,
+    _grid_silu_factored,
     _grid_tables,
     _mdot,
     _mm_rows,
@@ -123,63 +124,63 @@ def _so2_eq(flat, c_in, co, w_m0, fcm, l_max, m_max, mxu_bf16):
 def _attn_pipeline(x, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2,
                    fc2m, ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv,
                    *, l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
-    """Per-receiver attention message. x [S,A,C]; xi [S,C]; d [A,K] masked;
-    xe [A,EC3]; maskf [A,1] float; dropk [A,NH]; w_rad [EC3,(L+1)*2C];
+    """Receiver-blocked attention messages: R receivers of one molecule per
+    call, edge rows stacked to [R·A, ·] so the SO2 matmuls fill MXU row
+    tiles (A≈48 alone wastes ⅔ of each 128-row tile) and the per-program
+    weight loads amortize over R receivers.
+
+    x [S,A,C] molecule features (shared across receivers); per-receiver
+    blocks xi [R,S,C]; d [R,A,K] masked compact Wigner; xe [R,A,EC3];
+    maskf [R,A,1] float; dropk [R,A,NH]; w_rad [EC3,(L+1)*2C];
     w1 [n0*2C, n0*co+nh*va+co]; fc1m[m] [n_l*2C, 2 n_l co];
     w2 [n0*co, n0*co]; fc2m[m] [n_l*co, 2 n_l co];
     ln_scale/ln_bias [1, NH*va] PRE-TILED per head; alpha_dot [1, NH*va]
     lane-major; m_avg [NH*va, NH] (1/va group-average), m_exp [NH, NH*va]
     and m_expv [NH, co] (0/1 group expanders) — per-head reductions and
     broadcasts run as matmuls because Mosaic cannot broadcast offset-lane
-    row vectors. Returns agg [S, co]."""
+    row vectors. Softmax and the neighbor reduction are segment ops over
+    each receiver's A-row block. Returns agg [R, S, co]."""
     rows = _mm_rows(l_max, m_max)
     st = len(rows)
     s_full = (l_max + 1) ** 2
-    a = x.shape[1]
+    r, a = d.shape[0], d.shape[1]
+    ra = r * a
+    k_pad = d.shape[-1]
+    d = d.reshape(ra, k_pad)
+    xe = xe.reshape(ra, xe.shape[-1])
+    maskf = maskf.reshape(ra, 1)
+    dropk = dropk.reshape(ra, dropk.shape[-1])
 
-    xs_rows = [x[s] for s in range(s_full)]
-    xi_rows = [jax.lax.slice_in_dim(xi, s, s + 1, axis=0) for s in range(s_full)]
+    xs_rows = [
+        x[s] if r == 1 else jnp.concatenate([x[s]] * r, axis=0)
+        for s in range(s_full)
+    ]  # [RA, C] molecule rows tiled per receiver
+    xi_rows = [
+        jnp.broadcast_to(xi[:, s : s + 1, :], (r, a, c)).reshape(ra, c)
+        for s in range(s_full)
+    ]  # receiver row broadcast over its own A edge rows
     src, tgt = _rotate_fwd(xs_rows, xi_rows, d, l_max, m_max)
     # radial scale, shared over m within each l (rotation-commuting)
     rad = _mdot(xe, w_rad, mxu_bf16) + b_rad  # [A, (L+1)*2C]
     c2 = 2 * c
     flat_parts = []
-    for r, (l, m) in enumerate(rows):
-        rr = jax.lax.slice_in_dim(rad, l * c2, (l + 1) * c2, axis=-1)
-        blk = jnp.concatenate([src[r], tgt[r]], axis=-1) * rr  # [A, 2C]
+    for ri, (l, m) in enumerate(rows):
+        rl = jax.lax.slice_in_dim(rad, l * c2, (l + 1) * c2, axis=-1)
+        blk = jnp.concatenate([src[ri], tgt[ri]], axis=-1) * rl  # [RA, 2C]
         flat_parts.append(blk)
-    flat = jnp.concatenate(flat_parts, axis=-1)  # [A, S_t*2C]
+    flat = jnp.concatenate(flat_parts, axis=-1)  # [RA, S_t*2C]
 
     hidden, extra = _so2_eq(flat, c2, co, w1, fc1m, l_max, m_max, mxu_bf16)
     alpha_scal = jax.lax.slice_in_dim(extra, 0, nh * va, axis=-1)
     gate_scal = jax.lax.slice_in_dim(extra, nh * va, nh * va + co, axis=-1)
 
-    # separable S2 act: grid silu on rows 1..St-1, plain silu gates on row 0
-    to_g, from_g = _grid_tables(l_max, m_max, n_grid)
+    # separable S2 act: two-stage (lat,lon) grid silu on rows 1..St-1,
+    # plain silu gates on the l=0 row (see escn_layer._grid_factor_tables)
     blocks = [
-        jax.lax.slice_in_dim(hidden, r * co, (r + 1) * co, axis=-1)
-        for r in range(st)
+        jax.lax.slice_in_dim(hidden, s * co, (s + 1) * co, axis=-1)
+        for s in range(st)
     ]
-    gps = []
-    for p in range(to_g.shape[0]):
-        acc = None
-        for s in range(st):
-            w = float(to_g[p, s])
-            if w == 0.0:
-                continue
-            t = w * blocks[s]
-            acc = t if acc is None else acc + t
-        gps.append(jax.nn.silu(acc))
-    acted = []
-    for s in range(st):
-        acc = None
-        for p in range(len(gps)):
-            w = float(from_g[s, p])
-            if w == 0.0:
-                continue
-            t = w * gps[p]
-            acc = t if acc is None else acc + t
-        acted.append(acc)
+    acted = _grid_silu_factored(blocks, l_max, m_max, n_grid)
     acted[0] = jax.nn.silu(gate_scal)
     hidden2 = jnp.concatenate(acted, axis=-1)
 
@@ -196,9 +197,12 @@ def _attn_pipeline(x, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2,
     logits = _mdot(act * alpha_dot, m_avg, False) * float(va)  # group sums
     neg = jnp.float32(-1e9)
     logits = jnp.where(maskf > 0.5, logits, neg)
-    lmax_ = jnp.max(logits, axis=0, keepdims=True)
-    ex = jnp.exp(logits - lmax_) * jnp.where(maskf > 0.5, 1.0, 0.0)
-    alpha = ex / jnp.maximum(jnp.sum(ex, axis=0, keepdims=True), 1e-20)
+    # masked softmax over each receiver's own A-row segment
+    lg3 = logits.reshape(r, a, nh)
+    lmax_ = jnp.max(lg3, axis=1, keepdims=True)
+    ex = jnp.exp(lg3 - lmax_).reshape(ra, nh) * jnp.where(maskf > 0.5, 1.0, 0.0)
+    den = jnp.maximum(jnp.sum(ex.reshape(r, a, nh), axis=1, keepdims=True), 1e-20)
+    alpha = (ex.reshape(r, a, nh) / den).reshape(ra, nh)
     alpha = alpha * dropk  # pre-scaled keep mask
 
     # expand alpha [A,NH] -> [A,co] (vc lanes per head) via the 0/1 matmul
@@ -208,20 +212,22 @@ def _attn_pipeline(x, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2,
         for r in range(st)
     ]
 
-    # rotate back + reduce
+    # rotate back + per-receiver neighbor reduction
     offs, _ = so3.trunc_compact_layout(l_max, m_max)
     out_rows: List = [None] * s_full
-    for r, (l, m) in enumerate(rows):
+    for rr, (l, m) in enumerate(rows):
         mc = min(l, m_max)
         mrow = m + mc
         for col in range(2 * l + 1):
             idx = offs[l] + mrow * (2 * l + 1) + col
             dc = jax.lax.slice_in_dim(d, idx, idx + 1, axis=-1)
-            t = dc * vblocks[r]
+            t = dc * vblocks[rr]
             s = l * l + col
             out_rows[s] = t if out_rows[s] is None else out_rows[s] + t
-    reduced = [jnp.sum(rw, axis=0, keepdims=True) for rw in out_rows]
-    return jnp.concatenate(reduced, axis=0)  # [S, co]
+    reduced = [
+        jnp.sum(rw.reshape(r, a, co), axis=1, keepdims=True) for rw in out_rows
+    ]  # each [R, 1, co]
+    return jnp.concatenate(reduced, axis=1)  # [R, S, co]
 
 
 # ---------------------------------------------------------------------------
@@ -260,14 +266,35 @@ def _fwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
     (w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot, m_avg, m_exp,
      m_expv) = _unpack_weights(wrefs, m_max)
     out = _attn_pipeline(
-        x_ref[0], xi_ref[0, 0], d_ref[0, 0], xe_ref[0, 0],
-        mask_ref[0, 0], drop_ref[0, 0],
+        x_ref[0], xi_ref[0], d_ref[0], xe_ref[0],
+        mask_ref[0], drop_ref[0],
         w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot,
         m_avg, m_exp, m_expv,
         l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
         n_grid=n_grid, mxu_bf16=mxu_bf16,
     )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _pick_r(a: int, cap: int) -> int:
+    """Receivers per program: the largest divisor of a that is <= cap.
+    (Equal pallas blocks need r | a; cap bounds the VMEM footprint, which
+    scales linearly in r for every per-edge tensor.)"""
+    for r in range(min(cap, a), 0, -1):
+        if a % r == 0:
+            return r
+    return 1
+
+
+# receivers-per-program caps (fwd, bwd), bounded by VMEM: at the bench
+# configuration (A=48, L=6/M=2, C=128) the fwd kernel fits r=4 under the
+# 128 MB budget; the vjp-carrying bwd kernel needs r=1 (its residuals
+# scale with r and r=2 measured 136 MB on a 128 MB chip). Overridable for
+# tests/tuning via NABLA_EQV2_R="fwd,bwd".
+import os as _os
+
+_env = _os.environ.get("NABLA_EQV2_R")
+_R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else (4, 1)
 
 
 def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
@@ -275,6 +302,7 @@ def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
     b, s, a, _ = x.shape
     k = d.shape[-1]
     ec = xe.shape[-1]
+    r = _pick_r(a, _R_CAPS[0])
     specs = [
         pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
         for w in mats
@@ -285,21 +313,21 @@ def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
     )
     return pl.pallas_call(
         kern,
-        grid=(b, a),
+        grid=(b, a // r),
         in_specs=[
             pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
-            pl.BlockSpec((1, 1, s, c), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, k), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, dropk.shape[-1]),
+            pl.BlockSpec((1, r, s, c), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, k), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, dropk.shape[-1]),
                          lambda bb, ii: (bb, ii, 0, 0)),
             *specs,
         ],
-        out_specs=pl.BlockSpec((1, 1, s, co), lambda bb, ii: (bb, ii, 0, 0)),
+        out_specs=pl.BlockSpec((1, r, s, co), lambda bb, ii: (bb, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, a, s, co), F32),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=attn_fwd_flops(b, a, 2 * c, co, ec, l_max, m_max, n_grid,
@@ -332,9 +360,9 @@ def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
     def _init_x():
         gx_ref[...] = jnp.zeros_like(gx_ref)
 
-    d_val = d_ref[0, 0]
-    maskf = mask_ref[0, 0]
-    dropk = drop_ref[0, 0]
+    d_val = d_ref[0]
+    maskf = mask_ref[0]
+    dropk = drop_ref[0]
 
     def f(x, xi, xe, w_rad_, b_rad_, w1_, w2_, ln_s_, ln_b_, adot_, *fcms):
         fc1m_ = list(fcms[:m_max])
@@ -347,15 +375,18 @@ def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
             n_grid=n_grid, mxu_bf16=mxu_bf16,
         )
 
-    args = (x_ref[0], xi_ref[0, 0], xe_ref[0, 0], w_rad, b_rad, w1, w2,
+    args = (x_ref[0], xi_ref[0], xe_ref[0], w_rad, b_rad, w1, w2,
             ln_s, ln_b, adot, *fc1m, *fc2m)
+    # NOTE: jax.checkpoint(f) would cut residual VMEM (allowing r>1), but
+    # Mosaic cannot lower remat2 inside a kernel body — a hand-written
+    # backward is the only way to shrink the bwd footprint further.
     _, vjp = jax.vjp(f, *args)
-    grads = vjp(g_ref[0, 0].astype(F32))
+    grads = vjp(g_ref[0].astype(F32))
     (gx, gxi, gxe, g_wrad, g_brad, g_w1, g_w2, g_lns, g_lnb, g_adot,
      *g_fcm) = grads
     gx_ref[0] += gx.astype(gx_ref.dtype)
-    gxi_ref[0, 0] = gxi.astype(gxi_ref.dtype)
-    gxe_ref[0, 0] = gxe.astype(gxe_ref.dtype)
+    gxi_ref[0] = gxi.astype(gxi_ref.dtype)
+    gxe_ref[0] = gxe.astype(gxe_ref.dtype)
     # accumulation order must match _weight_list:
     # [w_rad, b_rad, w1, w2, ln_s, ln_b, adot, m_avg, m_exp, m_expv,
     #  fc1m..., fc2m...]; the static expander matrices get zero grads
@@ -371,6 +402,7 @@ def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
     b, s, a, _ = x.shape
     k = d.shape[-1]
     ec = xe.shape[-1]
+    r = _pick_r(a, _R_CAPS[1])
     specs = [
         pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
         for w in mats
@@ -381,8 +413,8 @@ def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
     )
     out_specs = [
         pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
-        pl.BlockSpec((1, 1, s, c), lambda bb, ii: (bb, ii, 0, 0)),
-        pl.BlockSpec((1, 1, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+        pl.BlockSpec((1, r, s, c), lambda bb, ii: (bb, ii, 0, 0)),
+        pl.BlockSpec((1, r, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
         *specs,
     ]
     out_shape = [
@@ -393,22 +425,22 @@ def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
     ]
     return pl.pallas_call(
         kern,
-        grid=(b, a),
+        grid=(b, a // r),
         in_specs=[
             pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
-            pl.BlockSpec((1, 1, s, c), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, k), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, 1, a, dropk.shape[-1]),
+            pl.BlockSpec((1, r, s, c), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, k), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, a, dropk.shape[-1]),
                          lambda bb, ii: (bb, ii, 0, 0)),
             *specs,
-            pl.BlockSpec((1, 1, s, co), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, s, co), lambda bb, ii: (bb, ii, 0, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=attn_bwd_flops(b, a, 2 * c, co, ec, l_max, m_max, n_grid,

@@ -194,34 +194,116 @@ def _so2_block(flat, gates, w1_0, w2_0, fc1_m, w2r_m, w2i_m, l_max, m_max, c, h,
     return jnp.concatenate(parts, axis=-1)
 
 
-def _grid_act(msg_flat, l_max, m_max, n_points, c):
-    """Pointwise silu on the truncated sphere grid, unrolled scalar MACs."""
+@lru_cache(maxsize=None)
+def _grid_factor_tables(l_max: int, m_max: int, n_points: int):
+    """Separable (latitude x longitude) factorization of the S2 grid maps.
+
+    On the Gauss-Legendre x uniform-phi product grid every m-major basis
+    column is rank-1: Y_lm(theta_t, phi_f) = lat[s][t] * lon[g(s)][f] with
+    the longitude vector shared by all l of the same signed m (real SH:
+    cos/sin of m*phi). Factoring lets the kernels run the grid transform
+    in two stages — st*n_theta + n_theta*n_phi*(2M+1) scalar MACs instead
+    of P*st — which roughly halves the unrolled VPU op count of the
+    dominant kernel section. Returns (grp [st], lat_to [st,n_t],
+    lon_to [G,n_p], lat_from [st,n_t], lon_from [G,n_p], n_t, n_p).
+    """
     to_g, from_g = _grid_tables(l_max, m_max, n_points)
+    rows = _mm_rows(l_max, m_max)
     st = to_g.shape[1]
+    n_t = max(l_max + 1, int(round((n_points / 2.0) ** 0.5)))
+    n_p = to_g.shape[0] // n_t
+    assert n_t * n_p == to_g.shape[0]
+    # group rows by signed m (shared longitude vector)
+    keys = sorted({m for (_, m) in rows}, key=lambda m: (abs(m), -m))
+    grp = np.array([keys.index(m) for (_, m) in rows], np.int64)
+    g_n = len(keys)
+    lon_to = np.zeros((g_n, n_p))
+    lon_from = np.zeros((g_n, n_p))
+    lat_to = np.zeros((st, n_t))
+    lat_from = np.zeros((st, n_t))
+    for g in range(g_n):
+        s0 = int(np.argmax(grp == g))
+        for mat, lon in ((to_g, lon_to), (from_g, lon_from)):
+            col = (mat[:, s0] if mat is to_g else mat[s0, :]).reshape(n_t, n_p)
+            u, sv, vt = np.linalg.svd(col, full_matrices=False)
+            v = vt[0]
+            if v[np.argmax(np.abs(v))] < 0:
+                v = -v
+            lon[g] = v
+    for s in range(st):
+        g = int(grp[s])
+        lat_to[s] = to_g[:, s].reshape(n_t, n_p) @ lon_to[g]
+        lat_from[s] = from_g[s, :].reshape(n_t, n_p) @ lon_from[g]
+        # exactness check: the factorization must reconstruct the tables
+        assert np.abs(np.outer(lat_to[s], lon_to[g]).ravel()
+                      - to_g[:, s]).max() < 1e-9
+        assert np.abs(np.outer(lat_from[s], lon_from[g]).ravel()
+                      - from_g[s, :]).max() < 1e-9
+    return grp, lat_to, lon_to, lat_from, lon_from, n_t, n_p
+
+
+def _grid_silu_factored(blocks, l_max, m_max, n_points, act=jax.nn.silu):
+    """Two-stage (lat, lon) grid transform + pointwise act + two-stage
+    inverse over m-major coefficient blocks. Returns the acted blocks."""
+    grp, lat_to, lon_to, lat_from, lon_from, n_t, n_p = _grid_factor_tables(
+        l_max, m_max, n_points
+    )
+    st = len(blocks)
+    g_n = lon_to.shape[0]
+    u = [[None] * n_t for _ in range(g_n)]
+    for s in range(st):
+        g = int(grp[s])
+        for t in range(n_t):
+            w = float(lat_to[s, t])
+            if w == 0.0:
+                continue
+            term = w * blocks[s]
+            u[g][t] = term if u[g][t] is None else u[g][t] + term
+    gps = [[None] * n_p for _ in range(n_t)]
+    for t in range(n_t):
+        for f in range(n_p):
+            acc = None
+            for g in range(g_n):
+                w = float(lon_to[g, f])
+                if w == 0.0 or u[g][t] is None:
+                    continue
+                term = w * u[g][t]
+                acc = term if acc is None else acc + term
+            gps[t][f] = act(acc)
+    v = [[None] * n_t for _ in range(g_n)]
+    for g in range(g_n):
+        for t in range(n_t):
+            acc = None
+            for f in range(n_p):
+                w = float(lon_from[g, f])
+                if w == 0.0:
+                    continue
+                term = w * gps[t][f]
+                acc = term if acc is None else acc + term
+            v[g][t] = acc
+    outs = []
+    for s in range(st):
+        g = int(grp[s])
+        acc = None
+        for t in range(n_t):
+            w = float(lat_from[s, t])
+            if w == 0.0 or v[g][t] is None:
+                continue
+            term = w * v[g][t]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return outs
+
+
+def _grid_act(msg_flat, l_max, m_max, n_points, c):
+    """Pointwise silu on the truncated sphere grid (separable two-stage
+    transform — see _grid_factor_tables)."""
+    st = s_trunc(l_max, m_max)
     blocks = [
         jax.lax.slice_in_dim(msg_flat, s * c, (s + 1) * c, axis=-1)
         for s in range(st)
     ]
-    gps = []
-    for p in range(to_g.shape[0]):
-        acc = None
-        for s in range(st):
-            w = float(to_g[p, s])
-            if w == 0.0:
-                continue
-            t = w * blocks[s]
-            acc = t if acc is None else acc + t
-        gps.append(jax.nn.silu(acc))
-    outs = []
-    for s in range(st):
-        acc = None
-        for p in range(len(gps)):
-            w = float(from_g[s, p])
-            if w == 0.0:
-                continue
-            t = w * gps[p]
-            acc = t if acc is None else acc + t
-        outs.append(acc)
+    outs = _grid_silu_factored(blocks, l_max, m_max, n_points)
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -68,3 +68,31 @@ def test_pallas_attention_matches_xla():
         g_x["params"]["block_0"]["ga"]["so2_conv_1"]["fc_m0"]["kernel"]
     )
     np.testing.assert_allclose(gw_pl, gw_x, rtol=2e-3, atol=1e-6)
+
+
+def test_receiver_block_sizes_agree(monkeypatch):
+    """Receiver blocking is a pure scheduling choice: r=1 and an odd r
+    must produce identical outputs and grads."""
+    import nabladft_tpu.ops.pallas.eqv2_attn as ak
+
+    rng = np.random.default_rng(1)
+    batch = _make_batch(rng)
+    m_pl = create_model("equiformer_v2", **KW, use_pallas=True, remat=False)
+    p_pl = jax.jit(m_pl.init)(jax.random.PRNGKey(1), batch)
+
+    def run():
+        def loss(p):
+            o = m_pl.apply(p, batch)
+            return jnp.sum(o["energy"] ** 2) + jnp.sum(o["forces"] ** 2)
+
+        val, g = jax.value_and_grad(loss)(p_pl)
+        return np.asarray(val), np.asarray(
+            g["params"]["block_0"]["ga"]["w1"]
+        )
+
+    monkeypatch.setattr(ak, "_R_CAPS", (1, 1))
+    v1, g1 = run()
+    monkeypatch.setattr(ak, "_R_CAPS", (3, 2))  # a=8 -> r_fwd=2, r_bwd=2
+    v2, g2 = run()
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-7)

@@ -12,11 +12,20 @@ from .test_engine import make_toy_batches
 pytestmark = pytest.mark.pipeline
 
 
-def test_surrogate_matches_direct_grads():
+@pytest.mark.parametrize("family,kw", [
+    ("painn", dict(hidden=16, n_interactions=2, n_rbf=8, max_neighbors=7)),
+    # the surrogate path is model-generic: any derivative_forces model may
+    # use it (the dimenetpp/schnet XLA benches train through it)
+    ("dimenetpp", dict(hidden=16, num_blocks=2, int_emb_size=8,
+                       basis_emb_size=4, out_emb_channels=16,
+                       num_spherical=3, num_radial=4, max_neighbors=7,
+                       remat=False)),
+])
+def test_surrogate_matches_direct_grads(family, kw):
     batch = make_toy_batches(np.random.default_rng(0), n_batches=1)[0]
     batch = batch.replace(forces=np.random.default_rng(1).normal(
         size=batch.forces.shape).astype(np.float32))
-    model = create_model("painn", hidden=16, n_interactions=2, n_rbf=8, max_neighbors=7)
+    model = create_model(family, **kw)
     cfg = TrainerConfig(
         schedule="constant", lr=1e-3, n_dp=1,
         loss_specs={"energy": "l1", "forces": "l2norm"},
