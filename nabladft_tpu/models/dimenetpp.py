@@ -269,5 +269,11 @@ class DimeNetPP(nn.Module):
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))
         energy = nn.Dense(1)(h)[..., 0]
-        energy = energy * self.energy_std + self.energy_mean
+        # energy_mean is PER-ATOM (shared convention across the zoo, set by
+        # the per-atom standardization in pipelines/train_accuracy); the
+        # head here is graph-level, so the extensive offset is mean·n_atoms
+        # — adding the per-atom mean once would leave an O(-500 Eh) offset
+        # for the (non-extensive) MLP head to learn.
+        n_atoms = batch.node_mask.sum(axis=1).astype(jnp.float32)
+        energy = energy * self.energy_std + self.energy_mean * n_atoms
         return {"energy": energy}

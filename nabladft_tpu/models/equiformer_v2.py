@@ -229,7 +229,7 @@ class PallasSO2GraphAttention(nn.Module):
     mxu_bf16: bool = False
 
     @nn.compact
-    def __call__(self, x, dcomp, maskf, x_edge):
+    def __call__(self, x, oh, dcomp, maskf, x_edge):
         from nabladft_tpu.ops.pallas import eqv2_attn as ak
 
         L, M, C = self.l_max, self.m_max, self.sphere_channels
@@ -255,20 +255,22 @@ class PallasSO2GraphAttention(nn.Module):
         alpha_dot_flat = alpha_dot.reshape(1, nh * va)
 
         b, a = x.shape[0], x.shape[1]
+        k_e = maskf.shape[2]
         if not self.deterministic and self.alpha_drop > 0:
             keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - self.alpha_drop, (b, a, a, nh)
+                self.make_rng("dropout"), 1.0 - self.alpha_drop,
+                (b, a, k_e, nh)
             )
             dropk = keep.astype(jnp.float32) / (1.0 - self.alpha_drop)
         else:
-            dropk = jnp.ones((b, a, a, nh), jnp.float32)
+            dropk = jnp.ones((b, a, k_e, nh), jnp.float32)
 
         x32 = x.astype(jnp.float32)
         x_sm = jnp.swapaxes(x32, 1, 2)
         interp = self.interpret
         agg = ak.eqv2_attention_vjp(
             L, M, self.grid_points, interp, self.mxu_bf16, nh, va,
-            x_sm, x32, dcomp, x_edge.astype(jnp.float32),
+            x_sm, oh, x32, dcomp, x_edge.astype(jnp.float32),
             maskf[..., None], dropk,
             w_rad, b_rad, w1, fc1m, w2, fc2m,
             jnp.tile(ln_scale, (1, nh)), jnp.tile(ln_bias, (1, nh)),
@@ -310,7 +312,7 @@ class TransBlockV2(nn.Module):
                 self.sphere_channels, self.edge_channels, self.grid_points,
                 self.deterministic, interpret=self.interpret,
                 mxu_bf16=self.mxu_bf16, name="ga",
-            )(h, ctx["dcomp"], ctx["maskf"], ctx["xe"])
+            )(h, ctx["oh"], ctx["dcomp"], ctx["maskf"], ctx["xe"])
         else:
             h = SO2GraphAttention(
                 self.l_max, self.m_max, self.sphere_channels, self.num_heads,
@@ -386,15 +388,27 @@ class EquiformerV2(nn.Module):
         interp = jax.default_backend() == "cpu"
         ctx = {"nl": nl}
         if pallas_on:
-            mask_d, unit_d, dist_d = graph.dense_from_neighbor_list(nl, a_dim)
-            rot_d = so3.rot_to_z(unit_d)
-            dcomp = so3.wigner_trunc_compact_from_rot(rot_d, L, self.m_max)
-            dcomp = dcomp * mask_d[..., None]
+            # K-compacted edge tensors: the kernel gathers neighbor
+            # features with the masked one-hot matmul `oh` (Mosaic has no
+            # sublane gather), so the dense [B,A,A,·] lattice never exists
+            # and the per-receiver SO2 pipelines run K=max_neighbors rows
+            # (reference neighbor cap) instead of A. K is padded to the
+            # 8-row sublane tile: Mosaic rejects the kernel's per-receiver
+            # K-row block slices at off-tile row offsets.
+            nl = graph.pad_neighbor_list(nl, 8)
+            ctx["nl"] = nl
+            maskf = nl.mask.astype(jnp.float32)
+            rot_k = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
+            dcomp = so3.wigner_trunc_compact_from_rot(rot_k, L, self.m_max)
+            dcomp = dcomp * maskf[..., None]
+            oh = jax.nn.one_hot(nl.idx, a_dim, dtype=jnp.float32)
+            oh = oh * maskf[..., None]
             ctx["dcomp"] = dcomp
-            ctx["maskf"] = mask_d
-            edge_dist = dist_d
-            z_src = jnp.broadcast_to(batch.z[:, None, :], mask_d.shape)
-            z_dst = jnp.broadcast_to(batch.z[:, :, None], mask_d.shape)
+            ctx["maskf"] = maskf
+            ctx["oh"] = oh
+            edge_dist = nl.dist
+            z_src = graph.gather_nodes(batch.z[..., None], nl.idx)[..., 0]
+            z_dst = jnp.broadcast_to(batch.z[:, :, None], z_src.shape)
         else:
             rot = so3.rot_to_z(graph.edge_rotation_vectors(nl.unit, nl.mask))
             d_t = so3.wigner_trunc_mmajor_from_rot(rot, L, self.m_max)
@@ -478,7 +492,7 @@ class EquiformerV2(nn.Module):
                 self.attn_value_channels, 1, 3 * self.edge_channels, gp,
                 self.deterministic, interpret=interp,
                 mxu_bf16=(cdt == jnp.bfloat16), name="force_block",
-            )(x, ctx["dcomp"], ctx["maskf"], ctx["xe"])
+            )(x, ctx["oh"], ctx["dcomp"], ctx["maskf"], ctx["xe"])
         else:
             f_feat = SO2GraphAttention(
                 L, self.m_max, C, self.num_heads, self.attn_alpha_channels,

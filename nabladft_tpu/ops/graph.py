@@ -115,6 +115,31 @@ def neighbor_list(
     return NeighborList(idx=idx, mask=mask, diff=diff, dist=dist, unit=unit)
 
 
+def pad_neighbor_list(nl: NeighborList, multiple: int = 8) -> NeighborList:
+    """Pad the K axis up to a multiple of `multiple` with masked slots.
+
+    TPU Mosaic tiles sublanes in groups of 8; kernels that stack
+    per-receiver K-row blocks (ops/pallas/eqv2_attn) need K % 8 == 0 or
+    per-block row slices land at unsupported tile offsets. Padded slots
+    are indistinguishable from ordinary under-filled neighbor slots
+    (mask False, idx 0, dist/diff/unit 0), so downstream semantics are
+    unchanged.
+    """
+    k = nl.idx.shape[2]
+    pad = (-k) % multiple
+    if pad == 0:
+        return nl
+    w3 = [(0, 0), (0, 0), (0, pad)]
+    w4 = w3 + [(0, 0)]
+    return NeighborList(
+        idx=jnp.pad(nl.idx, w3),
+        mask=jnp.pad(nl.mask, w3),
+        diff=jnp.pad(nl.diff, w4),
+        dist=jnp.pad(nl.dist, w3),
+        unit=jnp.pad(nl.unit, w4),
+    )
+
+
 def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-node features at (arbitrarily nested) node indices.
 

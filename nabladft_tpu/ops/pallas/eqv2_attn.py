@@ -46,25 +46,28 @@ from nabladft_tpu.ops.pallas.escn_layer import (
 )
 
 
-def attn_fwd_flops(b, a, c2, co, ec, l_max, m_max, n_grid, nh, va) -> int:
+def attn_fwd_flops(b, a, k, c2, co, ec, l_max, m_max, n_grid, nh, va) -> int:
+    """a = receivers per molecule (gather width), k = compacted edges."""
     st = s_trunc(l_max, m_max)
+    s_full = (l_max + 1) ** 2
     rot_macs = sum(
         (2 * min(l, m_max) + 1) * (2 * l + 1) for l in range(l_max + 1)
     )
     n0 = l_max + 1
-    so2_1 = 2 * a * (n0 * c2) * (n0 * co + nh * va + co)
-    so2_2 = 2 * a * (n0 * co) * (n0 * co)
+    so2_1 = 2 * k * (n0 * c2) * (n0 * co + nh * va + co)
+    so2_2 = 2 * k * (n0 * co) * (n0 * co)
     for m in range(1, m_max + 1):
         n_l = l_max + 1 - m
-        so2_1 += 2 * (2 * a) * (n_l * c2) * (2 * n_l * co)
-        so2_2 += 2 * (2 * a) * (n_l * co) * (2 * n_l * co)
+        so2_1 += 2 * (2 * k) * (n_l * c2) * (2 * n_l * co)
+        so2_2 += 2 * (2 * k) * (n_l * co) * (2 * n_l * co)
     per = (
-        2 * rot_macs * a * (c2 // 2) * 2          # rotations (src+tgt, C each)
-        + 2 * a * ec * (n0 * c2)                  # radial-scale matmul
+        2 * s_full * k * a * (c2 // 2)            # one-hot neighbor gather
+        + 2 * rot_macs * k * (c2 // 2) * 2        # rotations (src+tgt, C each)
+        + 2 * k * ec * (n0 * c2)                  # radial-scale matmul
         + so2_1 + so2_2
-        + 2 * 2 * n_grid * st * a * co            # grid act
-        + 2 * a * nh * va * 6                     # LN + alpha dot
-        + 2 * rot_macs * a * co                   # rotate back
+        + 2 * 2 * n_grid * st * k * co            # grid act
+        + 2 * k * nh * va * 6                     # LN + alpha dot
+        + 2 * rot_macs * k * co                   # rotate back
     )
     return int(b * a * per)
 
@@ -121,44 +124,51 @@ def _so2_eq(flat, c_in, co, w_m0, fcm, l_max, m_max, mxu_bf16):
     return jnp.concatenate(parts, axis=-1), extra
 
 
-def _attn_pipeline(x, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2,
-                   fc2m, ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv,
-                   *, l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
-    """Receiver-blocked attention messages: R receivers of one molecule per
-    call, edge rows stacked to [R·A, ·] so the SO2 matmuls fill MXU row
-    tiles (A≈48 alone wastes ⅔ of each 128-row tile) and the per-program
-    weight loads amortize over R receivers.
+def _attn_pipeline(x, oh, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m,
+                   w2, fc2m, ln_scale, ln_bias, alpha_dot, m_avg, m_exp,
+                   m_expv, *, l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
+    """Receiver-blocked attention messages over the K-compacted neighbor
+    list: R receivers of one molecule per call, edge rows stacked to
+    [R·K, ·] so the SO2 matmuls fill MXU row tiles (K=30 alone wastes ¾
+    of each 128-row tile; R=4 → 120 rows) and the per-program weight
+    loads amortize over R receivers. Compaction skips the (A-K) dead
+    edge slots of the dense formulation entirely — the reference caps
+    neighbors at max_neighbors (equiformer_v2 config), so the SO2 FLOPs
+    here drop by A/K ≈ 1.6x at the bench shapes.
 
-    x [S,A,C] molecule features (shared across receivers); per-receiver
-    blocks xi [R,S,C]; d [R,A,K] masked compact Wigner; xe [R,A,EC3];
-    maskf [R,A,1] float; dropk [R,A,NH]; w_rad [EC3,(L+1)*2C];
-    w1 [n0*2C, n0*co+nh*va+co]; fc1m[m] [n_l*2C, 2 n_l co];
-    w2 [n0*co, n0*co]; fc2m[m] [n_l*co, 2 n_l co];
+    x [S,A,C] molecule features (shared across receivers); oh [R,K,A]
+    masked one-hot gather matrix (row k of receiver i selects atom
+    nl.idx[i,k]; gathers/scatters run as matmuls — Mosaic has no
+    sublane gather); per-receiver blocks xi [R,S,C]; d [R,K,KW] masked
+    compact Wigner; xe [R,K,EC3]; maskf [R,K,1] float; dropk [R,K,NH];
+    w_rad [EC3,(L+1)*2C]; w1 [n0*2C, n0*co+nh*va+co];
+    fc1m[m] [n_l*2C, 2 n_l co]; w2 [n0*co, n0*co];
+    fc2m[m] [n_l*co, 2 n_l co];
     ln_scale/ln_bias [1, NH*va] PRE-TILED per head; alpha_dot [1, NH*va]
     lane-major; m_avg [NH*va, NH] (1/va group-average), m_exp [NH, NH*va]
     and m_expv [NH, co] (0/1 group expanders) — per-head reductions and
     broadcasts run as matmuls because Mosaic cannot broadcast offset-lane
     row vectors. Softmax and the neighbor reduction are segment ops over
-    each receiver's A-row block. Returns agg [R, S, co]."""
+    each receiver's K-row block. Returns agg [R, S, co]."""
     rows = _mm_rows(l_max, m_max)
     st = len(rows)
     s_full = (l_max + 1) ** 2
     r, a = d.shape[0], d.shape[1]
     ra = r * a
     k_pad = d.shape[-1]
+    oh = oh.reshape(ra, oh.shape[-1])
     d = d.reshape(ra, k_pad)
     xe = xe.reshape(ra, xe.shape[-1])
     maskf = maskf.reshape(ra, 1)
     dropk = dropk.reshape(ra, dropk.shape[-1])
 
     xs_rows = [
-        x[s] if r == 1 else jnp.concatenate([x[s]] * r, axis=0)
-        for s in range(s_full)
-    ]  # [RA, C] molecule rows tiled per receiver
+        _mdot(oh, x[s], mxu_bf16) for s in range(s_full)
+    ]  # [RK, C] neighbor-gathered molecule rows
     xi_rows = [
         jnp.broadcast_to(xi[:, s : s + 1, :], (r, a, c)).reshape(ra, c)
         for s in range(s_full)
-    ]  # receiver row broadcast over its own A edge rows
+    ]  # receiver row broadcast over its own K edge rows
     src, tgt = _rotate_fwd(xs_rows, xi_rows, d, l_max, m_max)
     # radial scale, shared over m within each l (rotation-commuting)
     rad = _mdot(xe, w_rad, mxu_bf16) + b_rad  # [A, (L+1)*2C]
@@ -258,15 +268,15 @@ def _unpack_weights(refs, m_max):
             m_avg, m_exp, m_expv)
 
 
-def _fwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
-                l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
+def _fwd_kernel(x_ref, oh_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref,
+                *refs, l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
     n_w = N_FIXED_W + 2 * m_max
     wrefs = refs[:n_w]
     out_ref = refs[n_w]
     (w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot, m_avg, m_exp,
      m_expv) = _unpack_weights(wrefs, m_max)
     out = _attn_pipeline(
-        x_ref[0], xi_ref[0], d_ref[0], xe_ref[0],
+        x_ref[0], oh_ref[0], xi_ref[0], d_ref[0], xe_ref[0],
         mask_ref[0], drop_ref[0],
         w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot,
         m_avg, m_exp, m_expv,
@@ -287,20 +297,22 @@ def _pick_r(a: int, cap: int) -> int:
 
 
 # receivers-per-program caps (fwd, bwd), bounded by VMEM: at the bench
-# configuration (A=48, L=6/M=2, C=128) the fwd kernel fits r=4 under the
-# 128 MB budget; the vjp-carrying bwd kernel needs r=1 (its residuals
-# scale with r and r=2 measured 136 MB on a 128 MB chip). Overridable for
-# tests/tuning via NABLA_EQV2_R="fwd,bwd".
+# configuration (A=48, K=30, L=6/M=2, C=128) the fwd kernel fits r=4
+# under the 128 MB budget (4·30 = 120 rows ≈ one full MXU tile); the
+# vjp-carrying bwd kernel fits r=2 after K-compaction (dense-edge r=2
+# measured 136 MB; K=30 shrinks per-edge residuals by A/K). Overridable
+# for tests/tuning via NABLA_EQV2_R="fwd,bwd".
 import os as _os
 
 _env = _os.environ.get("NABLA_EQV2_R")
-_R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else (4, 1)
+_R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else (4, 2)
 
 
-def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
+def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
              l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16):
     b, s, a, _ = x.shape
-    k = d.shape[-1]
+    k_e = d.shape[2]  # compacted neighbor slots per receiver
+    kw = d.shape[-1]
     ec = xe.shape[-1]
     r = _pick_r(a, _R_CAPS[0])
     specs = [
@@ -316,11 +328,12 @@ def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
         grid=(b, a // r),
         in_specs=[
             pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, r, k_e, a), lambda bb, ii: (bb, ii, 0, 0)),
             pl.BlockSpec((1, r, s, c), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, k), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, dropk.shape[-1]),
+            pl.BlockSpec((1, r, k_e, kw), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, k_e, ec), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, k_e, 1), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, k_e, dropk.shape[-1]),
                          lambda bb, ii: (bb, ii, 0, 0)),
             *specs,
         ],
@@ -330,17 +343,17 @@ def _run_fwd(x, x_asc, d, xe, maskf, dropk, mats,
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=attn_fwd_flops(b, a, 2 * c, co, ec, l_max, m_max, n_grid,
-                                 nh, va),
+            flops=attn_fwd_flops(b, a, k_e, 2 * c, co, ec, l_max, m_max,
+                                 n_grid, nh, va),
             bytes_accessed=4 * (x.size + d.size + xe.size + b * a * s * co),
-            transcendentals=b * a * a * (40 * co + nh * va),
+            transcendentals=b * a * k_e * (40 * co + nh * va),
         ),
         interpret=interpret,
-    )(x, x_asc, d, xe, maskf, dropk, *mats)
+    )(x, oh, x_asc, d, xe, maskf, dropk, *mats)
 
 
-def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
-                l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
+def _bwd_kernel(x_ref, oh_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref,
+                *refs, l_max, m_max, c, co, nh, va, n_grid, mxu_bf16):
     n_w = N_FIXED_W + 2 * m_max
     wrefs = refs[:n_w]
     g_ref = refs[n_w]
@@ -360,6 +373,7 @@ def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
     def _init_x():
         gx_ref[...] = jnp.zeros_like(gx_ref)
 
+    oh_val = oh_ref[0]
     d_val = d_ref[0]
     maskf = mask_ref[0]
     dropk = drop_ref[0]
@@ -368,7 +382,7 @@ def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
         fc1m_ = list(fcms[:m_max])
         fc2m_ = list(fcms[m_max:])
         return _attn_pipeline(
-            x, xi, d_val, xe, maskf, dropk,
+            x, oh_val, xi, d_val, xe, maskf, dropk,
             w_rad_, b_rad_, w1_, fc1m_, w2_, fc2m_, ln_s_, ln_b_, adot_,
             m_avg, m_exp, m_expv,
             l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
@@ -397,10 +411,11 @@ def _bwd_kernel(x_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref, *refs,
         ref[...] += gval.astype(ref.dtype)
 
 
-def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
+def _run_bwd(x, oh, x_asc, d, xe, maskf, dropk, mats, g,
              l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16):
     b, s, a, _ = x.shape
-    k = d.shape[-1]
+    k_e = d.shape[2]
+    kw = d.shape[-1]
     ec = xe.shape[-1]
     r = _pick_r(a, _R_CAPS[1])
     specs = [
@@ -414,13 +429,13 @@ def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
     out_specs = [
         pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
         pl.BlockSpec((1, r, s, c), lambda bb, ii: (bb, ii, 0, 0)),
-        pl.BlockSpec((1, r, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
+        pl.BlockSpec((1, r, k_e, ec), lambda bb, ii: (bb, ii, 0, 0)),
         *specs,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, s, a, c), F32),
         jax.ShapeDtypeStruct((b, a, s, c), F32),
-        jax.ShapeDtypeStruct((b, a, a, ec), F32),
+        jax.ShapeDtypeStruct((b, a, k_e, ec), F32),
         *[jax.ShapeDtypeStruct(w.shape, F32) for w in mats],
     ]
     return pl.pallas_call(
@@ -428,11 +443,12 @@ def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
         grid=(b, a // r),
         in_specs=[
             pl.BlockSpec((1, s, a, c), lambda bb, ii: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, r, k_e, a), lambda bb, ii: (bb, ii, 0, 0)),
             pl.BlockSpec((1, r, s, c), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, k), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, ec), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, 1), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, r, a, dropk.shape[-1]),
+            pl.BlockSpec((1, r, k_e, kw), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, k_e, ec), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, k_e, 1), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r, k_e, dropk.shape[-1]),
                          lambda bb, ii: (bb, ii, 0, 0)),
             *specs,
             pl.BlockSpec((1, r, s, co), lambda bb, ii: (bb, ii, 0, 0)),
@@ -443,56 +459,57 @@ def _run_bwd(x, x_asc, d, xe, maskf, dropk, mats, g,
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=attn_bwd_flops(b, a, 2 * c, co, ec, l_max, m_max, n_grid,
-                                 nh, va),
+            flops=attn_bwd_flops(b, a, k_e, 2 * c, co, ec, l_max, m_max,
+                                 n_grid, nh, va),
             bytes_accessed=4 * (2 * x.size + d.size + 2 * xe.size
                                 + b * a * s * (c + co)),
-            transcendentals=2 * b * a * a * (40 * co + nh * va),
+            transcendentals=2 * b * a * k_e * (40 * co + nh * va),
         ),
         interpret=interpret,
-    )(x, x_asc, d, xe, maskf, dropk, *mats, g)
+    )(x, oh, x_asc, d, xe, maskf, dropk, *mats, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def eqv2_attention_vjp(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
-                       x_sm, x_asc, d, xe, maskf, dropk,
+                       x_sm, oh, x_asc, d, xe, maskf, dropk,
                        w_rad, b_rad, w1, fc1m, w2, fc2m,
                        ln_scale, ln_bias, alpha_dot):
     """Fused EqV2 SO(2) graph attention with custom VJP.
 
-    d / maskf / dropk are non-differentiable (direct forces; dropout mask
-    is sampled outside). Returns agg [B, A, S, co].
+    oh [B,A,K,A] is the masked one-hot neighbor gather matrix; oh / d /
+    maskf / dropk are non-differentiable (direct forces; dropout mask is
+    sampled outside). Returns agg [B, A, S, co].
     """
     c = x_sm.shape[-1]
     co = w2.shape[-1] // (l_max + 1)
     m_avg, m_exp, m_expv = _expanders(nh, va, co)
     mats = _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m,
                         ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv)
-    return _run_fwd(x_sm, x_asc, d, xe, maskf, dropk, mats,
+    return _run_fwd(x_sm, oh, x_asc, d, xe, maskf, dropk, mats,
                     l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16)
 
 
 def _attn_fwd(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
-              x_sm, x_asc, d, xe, maskf, dropk,
+              x_sm, oh, x_asc, d, xe, maskf, dropk,
               w_rad, b_rad, w1, fc1m, w2, fc2m, ln_scale, ln_bias, alpha_dot):
     out = eqv2_attention_vjp(
         l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
-        x_sm, x_asc, d, xe, maskf, dropk,
+        x_sm, oh, x_asc, d, xe, maskf, dropk,
         w_rad, b_rad, w1, fc1m, w2, fc2m, ln_scale, ln_bias, alpha_dot,
     )
-    return out, (x_sm, x_asc, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m,
-                 w2, fc2m, ln_scale, ln_bias, alpha_dot)
+    return out, (x_sm, oh, x_asc, d, xe, maskf, dropk, w_rad, b_rad, w1,
+                 fc1m, w2, fc2m, ln_scale, ln_bias, alpha_dot)
 
 
 def _attn_bwd(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va, res, g):
-    (x_sm, x_asc, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2, fc2m,
+    (x_sm, oh, x_asc, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2, fc2m,
      ln_scale, ln_bias, alpha_dot) = res
     c = x_sm.shape[-1]
     co = w2.shape[-1] // (l_max + 1)
     m_avg, m_exp, m_expv = _expanders(nh, va, co)
     mats = _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m,
                         ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv)
-    outs = _run_bwd(x_sm, x_asc, d, xe, maskf, dropk, mats, g.astype(F32),
+    outs = _run_bwd(x_sm, oh, x_asc, d, xe, maskf, dropk, mats, g.astype(F32),
                     l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16)
     gx, gxi, gxe = outs[0], outs[1], outs[2]
     gw = outs[3:]
@@ -501,9 +518,9 @@ def _attn_bwd(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va, res, g):
     # slots 7..9 are the static expander matrices (zero grads, discarded)
     g_fc1m = list(gw[10 : 10 + m_max_])
     g_fc2m = list(gw[10 + m_max_ : 10 + 2 * m_max_])
-    return (gx, gxi, jnp.zeros_like(d), gxe, jnp.zeros_like(maskf),
-            jnp.zeros_like(dropk), g_wrad, g_brad, g_w1, g_fc1m, g_w2,
-            g_fc2m, g_lns, g_lnb, g_adot)
+    return (gx, jnp.zeros_like(oh), gxi, jnp.zeros_like(d), gxe,
+            jnp.zeros_like(maskf), jnp.zeros_like(dropk), g_wrad, g_brad,
+            g_w1, g_fc1m, g_w2, g_fc2m, g_lns, g_lnb, g_adot)
 
 
 eqv2_attention_vjp.defvjp(_attn_fwd, _attn_bwd)
