@@ -53,10 +53,14 @@ MODEL_KW = {
     "escn": dict(num_layers=8, l_max=6, m_max=2, sphere_channels=128,
                  hidden=256, edge_channels=128, cutoff=8.0, max_neighbors=40,
                  num_sphere_samples=128),
+    # bf16 compute: the fused path's fp32 force-block backward exceeds
+    # VMEM (equiformer_v2._pallas_enabled); bf16 matches the bench path
+    # and tracks fp32 within 5% (tests/models/test_bf16_zoo.py)
     "equiformer_v2": dict(num_layers=12, sphere_channels=128,
                           attn_alpha_channels=64, num_heads=8,
                           attn_value_channels=16, ffn_hidden_channels=128,
-                          l_max=6, m_max=2, cutoff=12.0, max_neighbors=30),
+                          l_max=6, m_max=2, cutoff=12.0, max_neighbors=30,
+                          compute_dtype="bfloat16"),
 }
 
 # README tiny-split rows: [energy MAE Eh, forces MAE Eh/Å]

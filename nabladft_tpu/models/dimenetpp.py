@@ -150,7 +150,14 @@ class OutputPPBlock(nn.Module):
                      name="lin_up")(x)
         for k in range(self.num_layers):
             x = swish(nn.Dense(self.out_emb_channels, dtype=dt, name=f"lin_{k}")(x))
+        # zero-init final projection (torch_geometric OutputPPBlock
+        # reset_parameters zero-fills `lin`): the untrained model outputs
+        # exactly 0, so the first steps see O(1) standardized targets.
+        # Without it the unnormalized extensive sums (Σ_j over ~32
+        # neighbors, Σ_blocks, Σ_atoms) put the init energy at ~1e6 and
+        # the fixture run diverged unrecoverably (r3 41.7 Eh MAE).
         return nn.Dense(self.out_channels, use_bias=False, dtype=dt,
+                        kernel_init=nn.initializers.zeros,
                         name="lin_out")(x)
 
 

@@ -373,7 +373,12 @@ class EquiformerV2(nn.Module):
 
     def _pallas_enabled(self) -> bool:
         if self.use_pallas == "auto":
-            return jax.default_backend() != "cpu"
+            # fp32 is excluded from "auto": the force-block backward kernel
+            # exceeds VMEM with fp32 residuals (134 MB incl. 50 MB register
+            # spills at r=1 on a 128 MB chip); bf16 MXU operands halve the
+            # live set and fit. Explicit use_pallas=True overrides.
+            return (jax.default_backend() != "cpu"
+                    and jnp.dtype(self.compute_dtype) == jnp.bfloat16)
         return bool(self.use_pallas)
 
     @nn.compact

@@ -297,15 +297,22 @@ def _pick_r(a: int, cap: int) -> int:
 
 
 # receivers-per-program caps (fwd, bwd), bounded by VMEM: at the bench
-# configuration (A=48, K=30, L=6/M=2, C=128) the fwd kernel fits r=4
-# under the 128 MB budget (4·30 = 120 rows ≈ one full MXU tile); the
-# vjp-carrying bwd kernel fits r=2 after K-compaction (dense-edge r=2
-# measured 136 MB; K=30 shrinks per-edge residuals by A/K). Overridable
-# for tests/tuning via NABLA_EQV2_R="fwd,bwd".
+# configuration (A=48, K=30→32, L=6/M=2, C=128) the bf16-MXU fwd kernel
+# fits r=4 under the 128 MB budget (4·32 = 128 rows = one full MXU tile)
+# and the vjp-carrying bwd kernel fits r=2. Under fp32 MXU operands every
+# stored residual doubles (measured: bwd r=2 fp32 wants 143.2 MB on a
+# 128 MB chip), so fp32 halves both caps. Overridable for tests/tuning
+# via NABLA_EQV2_R="fwd,bwd".
 import os as _os
 
 _env = _os.environ.get("NABLA_EQV2_R")
-_R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else (4, 2)
+_R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else None
+
+
+def _r_caps(mxu_bf16: bool) -> tuple:
+    if _R_CAPS is not None:
+        return _R_CAPS
+    return (4, 2) if mxu_bf16 else (2, 1)
 
 
 def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
@@ -314,7 +321,7 @@ def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
     k_e = d.shape[2]  # compacted neighbor slots per receiver
     kw = d.shape[-1]
     ec = xe.shape[-1]
-    r = _pick_r(a, _R_CAPS[0])
+    r = _pick_r(a, _r_caps(mxu_bf16)[0])
     specs = [
         pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
         for w in mats
@@ -417,7 +424,7 @@ def _run_bwd(x, oh, x_asc, d, xe, maskf, dropk, mats, g,
     k_e = d.shape[2]
     kw = d.shape[-1]
     ec = xe.shape[-1]
-    r = _pick_r(a, _R_CAPS[1])
+    r = _pick_r(a, _r_caps(mxu_bf16)[1])
     specs = [
         pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
         for w in mats

@@ -82,15 +82,34 @@ def spherical_bessel_zeros(l_max: int, n_zeros: int) -> Tuple[Tuple[float, ...],
     """First n zeros of j_l for l=0..l_max (host-side bisection, cached)."""
 
     def jl(x: np.ndarray, l: int) -> np.ndarray:
-        x = np.maximum(x, 1e-12)
+        # Upward recurrence is catastrophically unstable for x < l (rounding
+        # noise oscillates around the true, exponentially small j_l and
+        # crosses zero — the bisection then reports spurious "zeros" near the
+        # trivial root at x=0, which silently killed every l>=3 basis channel
+        # of DimeNet++). Use the power series below l+1, recurrence above.
+        x = np.maximum(np.asarray(x, np.float64), 1e-12)
         j = [np.sin(x) / x, np.sin(x) / x**2 - np.cos(x) / x]
         for ll in range(2, l + 1):
             j.append((2 * ll - 1) / x * j[ll - 1] - j[ll - 2])
-        return j[l]
+        if l < 2:
+            return j[l]
+        dfact = 1.0
+        for i in range(1, 2 * l + 2, 2):
+            dfact *= i
+        t = np.ones_like(x)
+        s = t.copy()
+        for k in range(30):
+            t = t * (-x * x / 2.0) / ((k + 1) * (2 * l + 2 * k + 3))
+            s = s + t
+        series = (x**l / dfact) * s
+        return np.where(x > l + 1.0, j[l], series)
 
     out = []
     for l in range(l_max + 1):
-        xs = np.linspace(1e-3, (n_zeros + l + 2) * np.pi, 200000)
+        # start above the trivial l>=1 root at x=0; the first true zero of
+        # j_l exceeds the first zero of J_{l+1/2}, which is > l + 1/2
+        lo0 = max(1e-3, l * 0.5)
+        xs = np.linspace(lo0, (n_zeros + l + 2) * np.pi, 200000)
         vals = jl(xs, l)
         sign = np.signbit(vals)
         crossings = np.nonzero(sign[1:] != sign[:-1])[0]
