@@ -146,11 +146,15 @@ def main():
 
     model = create_model(args.model, energy_mean=mean, energy_std=max(std, 1e-6),
                          **MODEL_KW[args.model])
-    lr = {"schnet": 1e-4, "painn": 5e-4, "dimenetpp": 5e-4,
+    # dimenetpp: reference lr (config/dimenetplusplus.yaml optimizer.lr
+    # 1e-4) + warmup — even with normalized aggregations its init
+    # gradients are the zoo's largest
+    lr = {"schnet": 1e-4, "painn": 5e-4, "dimenetpp": 1e-4,
           "graphormer3d": 3e-4, "gemnet_oc": 2e-4, "escn": 2e-4,
           "equiformer_v2": 2e-4}[args.model]
     cfg = TrainerConfig(
         max_epochs=args.max_epochs, lr=lr,
+        warmup_steps=100 if args.model == "dimenetpp" else 0,
         schedule="plateau", plateau_factor=0.8, plateau_patience=30,
         plateau_min_lr=1e-6, stop_at_lr=2e-6,
         early_stopping_patience=200, log_every_n_steps=200,

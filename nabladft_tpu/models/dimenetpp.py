@@ -61,6 +61,7 @@ class InteractionPPBlock(nn.Module):
     num_after_skip: int
     num_spherical: int
     num_radial: int
+    agg_norm: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -121,6 +122,17 @@ class InteractionPPBlock(nn.Module):
                              w12[l * R : (l + 1) * R])
             corr = corr + s_l[..., None] * c_l
         agg = agg - corr * xkj_t
+        # normalized aggregation: the raw triplet sum over ~K neighbors
+        # amplifies message magnitude ~7x per block at init (measured;
+        # matches torch_geometric semantics), compounding to ~1e6 after 6
+        # blocks and making the loss surface untrainably ill-conditioned —
+        # the reference's own published DimeNet++ MAE (0.43 Eh ~ predicting
+        # the mean) is consistent with exactly this pathology. Dividing by
+        # the static neighbor cap K keeps activations O(1) and is absorbed
+        # EXACTLY into the adjacent linear: converted reference checkpoints
+        # multiply `up` kernels by K (models/pretrained.py), so function-
+        # level parity with torch_geometric weights is preserved.
+        agg = agg / self.agg_norm
         x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt,
                               name="up")(agg))
 
@@ -138,6 +150,7 @@ class OutputPPBlock(nn.Module):
     out_emb_channels: int
     out_channels: int
     num_layers: int
+    agg_norm: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,7 +158,10 @@ class OutputPPBlock(nn.Module):
         dt = self.dtype
         g = nn.Dense(self.hidden, use_bias=False, dtype=dt,
                      name="lin_rbf")(rbf) * m  # [B,A,A,H]
-        x = jnp.where(adj[..., None], g, 0.0).sum(axis=2).astype(dt)  # [B,A,H]
+        # normalized neighbor aggregation (see InteractionPPBlock.agg_norm;
+        # absorbed into lin_up for converted reference checkpoints)
+        x = jnp.where(adj[..., None], g, 0.0).sum(axis=2).astype(dt)
+        x = x / self.agg_norm  # [B,A,H]
         x = nn.Dense(self.out_emb_channels, use_bias=False, dtype=dt,
                      name="lin_up")(x)
         for k in range(self.num_layers):
@@ -184,6 +200,9 @@ class DimeNetPP(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # static normalizer for the atom-sum readout (absorbable into the head
+    # MLP's first kernel, so converters stay exact)
+    atom_norm: float = 32.0
 
     derivative_forces = True
 
@@ -253,25 +272,31 @@ class DimeNetPP(nn.Module):
         )
         m = jnp.where(adj[..., None], m, 0.0)
 
+        k_norm = float(self.max_neighbors)
         p = OutputPPBlock(
             self.hidden, self.out_emb_channels, self.node_latent_dim,
-            self.num_output_layers, dtype=cdt, name="output_0",
+            self.num_output_layers, agg_norm=k_norm, dtype=cdt,
+            name="output_0",
         )(m, rbf, adj)
         block_cls = nn.remat(InteractionPPBlock) if self.remat else InteractionPPBlock
         for b in range(self.num_blocks):
             m = block_cls(
                 self.hidden, self.int_emb_size, self.basis_emb_size,
                 self.num_before_skip, self.num_after_skip,
-                self.num_spherical, self.num_radial, dtype=cdt,
-                name=f"interaction_{b}",
+                self.num_spherical, self.num_radial, agg_norm=k_norm,
+                dtype=cdt, name=f"interaction_{b}",
             )(m, rbf, feats, adj)
             p = p + OutputPPBlock(
                 self.hidden, self.out_emb_channels, self.node_latent_dim,
-                self.num_output_layers, dtype=cdt, name=f"output_{b + 1}",
+                self.num_output_layers, agg_norm=k_norm, dtype=cdt,
+                name=f"output_{b + 1}",
             )(m, rbf, adj)
 
         # per-graph latent -> swish MLP head (reference dimenetplusplus.py:83-91)
         latent = jnp.where(batch.node_mask[..., None], p, 0.0).sum(1).astype(jnp.float32)
+        # static atom-count normalization of the readout sum (same
+        # rationale/absorption as agg_norm; 32 ~ typical nablaDFT size)
+        latent = latent / self.atom_norm
         h = swish(nn.Dense(self.node_latent_dim)(latent))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))
         h = swish(nn.Dense(self.node_latent_dim // 2)(h))

@@ -162,14 +162,25 @@ def convert_painn(state: Dict[str, np.ndarray], params: Dict) -> Dict:
 
 
 @register_converter("dimenetpp")
-def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict) -> Dict:
+def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict, model=None) -> Dict:
     """Reference DimeNet++ (torch_geometric DimeNetPlusPlus wrapped by
     DimeNetPlusPlusPotential, dimenetplusplus.py:22-116) → models.dimenetpp.
     Keys follow the reference registry's rebuilt state dict
     (model_registry.py:143-148 strips the Lightning 'net.' level):
     'net.<tg module>' + 'regr_or_cls_nn.<head>'. The basis functions match
     torch_geometric verbatim (ops/radial.dimenet_bessel_rbf,
-    ops/spherical.dimenet_spherical_basis), so weights copy unscaled."""
+    ops/spherical.dimenet_spherical_basis), so weights copy unscaled —
+    EXCEPT the three kernels that absorb the model's static aggregation
+    normalizers (InteractionPPBlock.agg_norm / OutputPPBlock.agg_norm /
+    DimeNetPP.atom_norm): the TPU model divides each aggregated sum by a
+    constant for trainability, and multiplying the immediately-following
+    linear kernel by the same constant reproduces the torch function
+    exactly (golden-tested)."""
+    from nabladft_tpu.models.dimenetpp import DimeNetPP
+
+    ref = model if model is not None else DimeNetPP
+    k_norm = float(ref.max_neighbors)
+    a_norm = float(ref.atom_norm)
     p = params["params"]
     pre = "net."
     _fill(p, "rbf_freq", state[pre + "rbf.freq"])
@@ -188,7 +199,7 @@ def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict) -> Dict:
         b = f"{pre}output_blocks.{i}."
         o = f"output_{i}"
         _fill(p, f"{o}/lin_rbf/kernel", _t(state[b + "lin_rbf.weight"]))
-        _fill(p, f"{o}/lin_up/kernel", _t(state[b + "lin_up.weight"]))
+        _fill(p, f"{o}/lin_up/kernel", k_norm * _t(state[b + "lin_up.weight"]))
         k = 0
         while b + f"lins.{k}.weight" in state:
             _fill(p, f"{o}/lin_{k}/kernel", _t(state[b + f"lins.{k}.weight"]))
@@ -209,7 +220,7 @@ def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict) -> Dict:
         _fill(p, f"{t}/sbf1_kernel", _t(state[b + "lin_sbf1.weight"]))
         _fill(p, f"{t}/sbf2_kernel", _t(state[b + "lin_sbf2.weight"]))
         _fill(p, f"{t}/down/kernel", _t(state[b + "lin_down.weight"]))
-        _fill(p, f"{t}/up/kernel", _t(state[b + "lin_up.weight"]))
+        _fill(p, f"{t}/up/kernel", k_norm * _t(state[b + "lin_up.weight"]))
         _fill(p, f"{t}/skip/kernel", _t(state[b + "lin.weight"]))
         _fill(p, f"{t}/skip/bias", state[b + "lin.bias"])
         for group, tgt_g in (("layers_before_skip", "before_skip"),
@@ -229,7 +240,10 @@ def convert_dimenetpp(state: Dict[str, np.ndarray], params: Dict) -> Dict:
     # graph-latent head: nn.Sequential(Linear, Swish)×3 + Linear → indices
     # 0, 2, 4, 6 (dimenetplusplus.py:85-93)
     for j, idx in enumerate((0, 2, 4, 6)):
-        _fill(p, f"Dense_{j}/kernel", _t(state[f"regr_or_cls_nn.{idx}.weight"]))
+        w = _t(state[f"regr_or_cls_nn.{idx}.weight"])
+        if j == 0:
+            w = a_norm * w  # absorb the atom-sum normalizer
+        _fill(p, f"Dense_{j}/kernel", w)
         _fill(p, f"Dense_{j}/bias", state[f"regr_or_cls_nn.{idx}.bias"])
     return params
 
@@ -293,7 +307,13 @@ def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example
     import flax
 
     params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
-    converted = _CONVERTERS[family.lower()](state, params)
+    import inspect
+
+    conv = _CONVERTERS[family.lower()]
+    if "model" in inspect.signature(conv).parameters:
+        converted = conv(state, params, model=model)
+    else:
+        converted = conv(state, params)
     return jax.tree_util.tree_map(np.asarray, converted)
 
 

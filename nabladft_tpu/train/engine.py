@@ -207,6 +207,18 @@ class Trainer:
         if cfg.grad_clip:
             parts.append(optax.clip_by_global_norm(cfg.grad_clip))
         parts.append(core)
+        if cfg.warmup_steps and schedule is None:
+            # constant/plateau schedules carry no device-side warmup (the
+            # plateau multiplier is a host-side rewrite of the injected
+            # scalar lr), so compose warmup as a separate update scaling:
+            # ramps 0→1 over warmup_steps, identity afterwards. Needed by
+            # architectures whose init gradients are huge relative to the
+            # loss (DimeNet++'s late interaction blocks amplify messages
+            # ~7x/block at init, matching torch_geometric).
+            w = float(cfg.warmup_steps)
+            parts.append(
+                optax.scale_by_schedule(lambda step: jnp.minimum(1.0, (step + 1) / w))
+            )
         if cfg.lookahead_k:
             parts.append(lookahead(cfg.lookahead_k, cfg.lookahead_alpha))
         return parts[0] if len(parts) == 1 else optax.chain(*parts)

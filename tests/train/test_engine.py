@@ -169,3 +169,34 @@ def test_force_grads_impls_agree(toy_data):
         losses[impl] = float(metrics["train/total"])
     assert losses["direct"] == pytest.approx(losses["surrogate"], rel=1e-4)
     assert losses["direct"] == pytest.approx(losses["pallas"], rel=1e-4)
+
+
+def test_warmup_scales_first_updates(toy_data):
+    """warmup_steps on a constant/plateau schedule ramps the update size
+    linearly (engine composes optax.scale_by_schedule after the core
+    optimizer): the first step with warmup_steps=10 must move parameters
+    ~1/10 as far as the unwarmed first step, and be identity afterwards."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = toy_data[0]
+    deltas = {}
+    for w in (0, 10):
+        model = create_model("schnet", hidden=16, n_interactions=1, n_rbf=8, max_neighbors=7)
+        cfg = TrainerConfig(
+            max_epochs=1, lr=1e-3, schedule="constant", warmup_steps=w,
+            log_every_n_steps=1000,
+            loss_specs={"energy": "mse"}, loss_coefs={"energy": 1.0}, n_dp=1,
+        )
+        trainer = Trainer(model, cfg)
+        trainer.init_state(batch)
+        # the jitted step donates `state` — snapshot params to host first
+        p0 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+        state, _ = trainer._jit_train_step(trainer.state, batch)
+        leaves0 = jax.tree_util.tree_leaves(p0)
+        leaves1 = jax.tree_util.tree_leaves(state.params)
+        deltas[w] = float(
+            sum(jnp.abs(a - jnp.asarray(b)).sum() for b, a in zip(leaves0, leaves1))
+        )
+    # first warmed step applies (0+1)/10 of the update
+    assert deltas[10] == pytest.approx(deltas[0] * 0.1, rel=1e-3), deltas
