@@ -138,8 +138,15 @@ class TripletInteraction(nn.Module):
             "mlp_cbf", nn.initializers.he_normal(), (s, self.emb_in)
         ).astype(dt)
         cbf_m = jnp.where(trip_mask[..., None], cbf, 0.0).astype(dt)
-        r = jnp.einsum("bikms,bikme->bikse", cbf_m, x_kj)  # MXU over m
-        agg = jnp.einsum("bikse,se->bike", r, w)
+        # contraction order matters for HBM traffic: projecting the basis
+        # through the weight FIRST keeps the largest intermediate at
+        # [B,A,K,M,Ein] (the same size as the gathered messages) instead of
+        # the [B,A,K,S,Ein] tensor the (messages x basis) order produces
+        # (S = emb_cbf*num_spherical = 112 >> M at reference capacity, a
+        # ~3.8x larger tensor, and the dominant HBM term of the old step);
+        # the MXU contraction depth also rises from M=30 to S=112.
+        g = jnp.einsum("bikms,se->bikme", cbf_m, w)
+        agg = jnp.einsum("bikme,bikme->bike", g, x_kj)
         agg = _scale(self, "scale_cbf_sum", agg, ref=x_kj)
         x = jax.nn.silu(nn.Dense(self.emb_out, use_bias=False, dtype=dt, name="down")(agg))
         x = jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, dtype=dt, name="up")(x))
