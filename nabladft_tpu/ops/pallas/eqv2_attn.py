@@ -36,6 +36,7 @@ from nabladft_tpu.ops import so3
 from nabladft_tpu.ops.pallas.escn_layer import (
     F32,
     _dsilu,
+    _grid_factor_tables,
     _grid_silu_factored,
     _grid_tables,
     _mdot,
@@ -241,6 +242,364 @@ def _attn_pipeline(x, oh, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m,
 
 
 # ---------------------------------------------------------------------------
+# hand-written backward (mirrors escn_layer._pipeline_bwd; verified against
+# jax.vjp of _attn_pipeline in tests/ops/test_eqv2_attn.py). Replacing the
+# in-kernel jax.vjp removes every autodiff-stored intermediate from VMEM —
+# the backward keeps only the handful of tensors it actually re-contracts
+# (flat slices, SO2 hidden halves, grid u-blocks, attention scalars), which
+# is what lets the bwd kernel run the same receiver blocking as the forward.
+# ---------------------------------------------------------------------------
+
+
+def _so2_eq_save(flat, c_in, co, w_m0, fcm, l_max, m_max, mxu_bf16):
+    """_so2_eq that also returns the residuals its backward needs:
+    (out_flat, extra, f0, boths) where boths[m-1] is the stacked [2A, n_l*c_in]
+    input of the m-th packed matmul."""
+    spans = _spans(l_max, m_max)
+    a = flat.shape[0]
+    s0, n0 = spans[0]
+    f0 = jax.lax.slice_in_dim(flat, s0 * c_in, (s0 + n0) * c_in, axis=-1)
+    h0 = _mdot(f0, w_m0, mxu_bf16)
+    if h0.shape[-1] > n0 * co:
+        out0 = jax.lax.slice_in_dim(h0, 0, n0 * co, axis=-1)
+        extra = jax.lax.slice_in_dim(h0, n0 * co, h0.shape[-1], axis=-1)
+    else:
+        out0, extra = h0, None
+    parts = [out0]
+    boths = []
+    for m in range(1, m_max + 1):
+        sp, n_l = spans[2 * m - 1]
+        sm, _ = spans[2 * m]
+        fp = jax.lax.slice_in_dim(flat, sp * c_in, (sp + n_l) * c_in, axis=-1)
+        fm = jax.lax.slice_in_dim(flat, sm * c_in, (sm + n_l) * c_in, axis=-1)
+        both = jnp.concatenate([fp, fm], axis=0)
+        o = _mdot(both, fcm[m - 1], mxu_bf16)
+        o_r = jax.lax.slice_in_dim(o, 0, n_l * co, axis=-1)
+        o_i = jax.lax.slice_in_dim(o, n_l * co, 2 * n_l * co, axis=-1)
+        rp = jax.lax.slice_in_dim(o_r, 0, a, axis=0)
+        rm = jax.lax.slice_in_dim(o_r, a, 2 * a, axis=0)
+        ip = jax.lax.slice_in_dim(o_i, 0, a, axis=0)
+        im = jax.lax.slice_in_dim(o_i, a, 2 * a, axis=0)
+        parts.append(rp - im)
+        parts.append(rm + ip)
+        boths.append(both)
+    return jnp.concatenate(parts, axis=-1), extra, f0, boths
+
+
+def _so2_eq_bwd(gout_flat, gextra, f0, boths, c_in, co, w_m0, fcm,
+                l_max, m_max, mxu_bf16):
+    """Transpose of _so2_eq. gout_flat [A, S_t*co]; gextra [A, extra] or
+    None. Returns (gflat [A, S_t*c_in], g_w_m0, g_fcm list)."""
+    spans = _spans(l_max, m_max)
+    a = gout_flat.shape[0]
+    s0, n0 = spans[0]
+    gout0 = jax.lax.slice_in_dim(gout_flat, s0 * co, (s0 + n0) * co, axis=-1)
+    gh0 = gout0 if gextra is None else jnp.concatenate([gout0, gextra], axis=-1)
+    gf0 = _mdot(gh0, w_m0.T, mxu_bf16)
+    g_w0 = _mdot(f0.T, gh0, mxu_bf16)
+    gflat_parts = [gf0]
+    g_fcm = []
+    for m in range(1, m_max + 1):
+        sp, n_l = spans[2 * m - 1]
+        sm, _ = spans[2 * m]
+        gop = jax.lax.slice_in_dim(gout_flat, sp * co, (sp + n_l) * co, axis=-1)
+        gom = jax.lax.slice_in_dim(gout_flat, sm * co, (sm + n_l) * co, axis=-1)
+        # out_+m = rp - im, out_-m = rm + ip  (rows of o_r = [p;m], o_i = [p;m])
+        go_r = jnp.concatenate([gop, gom], axis=0)  # [2A, n_l*co]
+        go_i = jnp.concatenate([gom, -gop], axis=0)
+        go = jnp.concatenate([go_r, go_i], axis=-1)  # [2A, 2*n_l*co]
+        gboth = _mdot(go, fcm[m - 1].T, mxu_bf16)
+        g_fcm.append(_mdot(boths[m - 1].T, go, mxu_bf16))
+        gflat_parts.append(jax.lax.slice_in_dim(gboth, 0, a, axis=0))
+        gflat_parts.append(jax.lax.slice_in_dim(gboth, a, 2 * a, axis=0))
+    return jnp.concatenate(gflat_parts, axis=-1), g_w0, g_fcm
+
+
+def _grid_factored_fwd_u(blocks, l_max, m_max, n_points):
+    """First (latitude) stage of the factored grid transform: returns the
+    u[g][t] block table the backward re-contracts (the [t,f] grid points are
+    cheap to recompute from u, so they are never stored)."""
+    grp, lat_to, lon_to, lat_from, lon_from, n_t, n_p = _grid_factor_tables(
+        l_max, m_max, n_points
+    )
+    g_n = lon_to.shape[0]
+    st = len(blocks)
+    u = [[None] * n_t for _ in range(g_n)]
+    for s in range(st):
+        g = int(grp[s])
+        for t in range(n_t):
+            w = float(lat_to[s, t])
+            if w == 0.0:
+                continue
+            term = w * blocks[s]
+            u[g][t] = term if u[g][t] is None else u[g][t] + term
+    return u
+
+
+def _grid_silu_factored_bwd(gacted, u, l_max, m_max, n_points):
+    """Transpose of _grid_silu_factored given the output cotangents and the
+    saved latitude-stage blocks u. Returns gblocks (list of st)."""
+    grp, lat_to, lon_to, lat_from, lon_from, n_t, n_p = _grid_factor_tables(
+        l_max, m_max, n_points
+    )
+    g_n = lon_to.shape[0]
+    st = len(gacted)
+    # gv[g][t] = sum_s lat_from[s,t] * gacted[s]
+    gv = [[None] * n_t for _ in range(g_n)]
+    for s in range(st):
+        if gacted[s] is None:
+            continue
+        g = int(grp[s])
+        for t in range(n_t):
+            w = float(lat_from[s, t])
+            if w == 0.0:
+                continue
+            term = w * gacted[s]
+            gv[g][t] = term if gv[g][t] is None else gv[g][t] + term
+    # per grid point: recompute pre-activation from u, chain through silu
+    gu = [[None] * n_t for _ in range(g_n)]
+    for t in range(n_t):
+        for f in range(n_p):
+            pre = None
+            ggp = None
+            for g in range(g_n):
+                wt = float(lon_to[g, f])
+                if wt != 0.0 and u[g][t] is not None:
+                    term = wt * u[g][t]
+                    pre = term if pre is None else pre + term
+                wf = float(lon_from[g, f])
+                if wf != 0.0 and gv[g][t] is not None:
+                    term = wf * gv[g][t]
+                    ggp = term if ggp is None else ggp + term
+            if ggp is None or pre is None:
+                continue
+            gpre = ggp * _dsilu(pre)
+            for g in range(g_n):
+                wt = float(lon_to[g, f])
+                if wt == 0.0:
+                    continue
+                term = wt * gpre
+                gu[g][t] = term if gu[g][t] is None else gu[g][t] + term
+    gblocks = []
+    for s in range(st):
+        g = int(grp[s])
+        acc = None
+        for t in range(n_t):
+            w = float(lat_to[s, t])
+            if w == 0.0 or gu[g][t] is None:
+                continue
+            term = w * gu[g][t]
+            acc = term if acc is None else acc + term
+        gblocks.append(acc)
+    return gblocks
+
+
+def _attn_pipeline_bwd(x, oh, xi, d, xe, maskf, dropk, w_rad, b_rad, w1,
+                       fc1m, w2, fc2m, ln_scale, ln_bias, alpha_dot, m_avg,
+                       m_exp, m_expv, g, *, l_max, m_max, c, co, nh, va,
+                       n_grid, mxu_bf16):
+    """Gradients of _attn_pipeline wrt (x, xi, xe, and all weights), given
+    output cotangents g [R, S, co]. Recomputes the forward keeping only the
+    residuals each transpose re-contracts. Returns
+    (gx [S,A_mol,C], gxi [R,S,C], gxe [R,K,EC], g_wrad, g_brad, g_w1,
+     g_fc1m, g_w2, g_fc2m, g_lns, g_lnb, g_adot)."""
+    rows = _mm_rows(l_max, m_max)
+    st = len(rows)
+    s_full = (l_max + 1) ** 2
+    offs, _ = so3.trunc_compact_layout(l_max, m_max)
+    r, a = d.shape[0], d.shape[1]
+    ra = r * a
+    a_mol = x.shape[1]
+    ec = xe.shape[-1]
+    oh2 = oh.reshape(ra, a_mol)
+    d2 = d.reshape(ra, d.shape[-1])
+    xe2 = xe.reshape(ra, ec)
+    maskf2 = maskf.reshape(ra, 1)
+    dropk2 = dropk.reshape(ra, dropk.shape[-1])
+
+    # ---- recompute forward ----
+    xs_rows = [_mdot(oh2, x[s], mxu_bf16) for s in range(s_full)]
+    xi_rows = [
+        jnp.broadcast_to(xi[:, s : s + 1, :], (r, a, c)).reshape(ra, c)
+        for s in range(s_full)
+    ]
+    src, tgt = _rotate_fwd(xs_rows, xi_rows, d2, l_max, m_max)
+    rad = _mdot(xe2, w_rad, mxu_bf16) + b_rad
+    c2 = 2 * c
+    blks = []  # pre-scale concat(src, tgt) per row (residual for g_rad)
+    flat_parts = []
+    for ri, (l, m) in enumerate(rows):
+        rl = jax.lax.slice_in_dim(rad, l * c2, (l + 1) * c2, axis=-1)
+        blk = jnp.concatenate([src[ri], tgt[ri]], axis=-1)
+        blks.append(blk)
+        flat_parts.append(blk * rl)
+    flat = jnp.concatenate(flat_parts, axis=-1)
+
+    hidden, extra, f0_1, boths_1 = _so2_eq_save(
+        flat, c2, co, w1, fc1m, l_max, m_max, mxu_bf16
+    )
+    alpha_scal = jax.lax.slice_in_dim(extra, 0, nh * va, axis=-1)
+    gate_scal = jax.lax.slice_in_dim(extra, nh * va, nh * va + co, axis=-1)
+
+    hblocks = [
+        jax.lax.slice_in_dim(hidden, s * co, (s + 1) * co, axis=-1)
+        for s in range(st)
+    ]
+    u = _grid_factored_fwd_u(hblocks, l_max, m_max, n_grid)
+    acted = _grid_silu_factored(hblocks, l_max, m_max, n_grid)
+    acted[0] = jax.nn.silu(gate_scal)
+    hidden2 = jnp.concatenate(acted, axis=-1)
+
+    values, _, f0_2, boths_2 = _so2_eq_save(
+        hidden2, co, co, w2, fc2m, l_max, m_max, mxu_bf16
+    )
+
+    ah = alpha_scal.astype(F32)
+    mu = _mdot(_mdot(ah, m_avg, False), m_exp, False)
+    cen = ah - mu
+    var = _mdot(_mdot(cen * cen, m_avg, False), m_exp, False)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = cen * inv
+    ln = xhat * ln_scale + ln_bias
+    act = jax.nn.silu(ln)
+    logits = _mdot(act * alpha_dot, m_avg, False) * float(va)
+    neg = jnp.float32(-1e9)
+    logits = jnp.where(maskf2 > 0.5, logits, neg)
+    lg3 = logits.reshape(r, a, nh)
+    lmax_ = jnp.max(lg3, axis=1, keepdims=True)
+    ex = jnp.exp(lg3 - lmax_).reshape(ra, nh) * jnp.where(maskf2 > 0.5, 1.0, 0.0)
+    den = jnp.maximum(jnp.sum(ex.reshape(r, a, nh), axis=1, keepdims=True), 1e-20)
+    alpha_soft = (ex.reshape(r, a, nh) / den).reshape(ra, nh)
+    alpha_fin = alpha_soft * dropk2
+    aexp = _mdot(alpha_fin, m_expv, False)
+    vblocks = [
+        jax.lax.slice_in_dim(values, s * co, (s + 1) * co, axis=-1) * aexp
+        for s in range(st)
+    ]
+
+    # ---- backward ----
+    # rotate-back + neighbor-reduce transpose: broadcast g over each
+    # receiver's K rows, contract with the masked Wigner values
+    g_rows = [
+        jnp.broadcast_to(g[:, s : s + 1, :], (r, a, co)).reshape(ra, co)
+        for s in range(s_full)
+    ]
+    gvb = []
+    for rr, (l, m) in enumerate(rows):
+        mc = min(l, m_max)
+        mrow = m + mc
+        acc = None
+        for col in range(2 * l + 1):
+            idx = offs[l] + mrow * (2 * l + 1) + col
+            dc = jax.lax.slice_in_dim(d2, idx, idx + 1, axis=-1)
+            t = dc * g_rows[l * l + col]
+            acc = t if acc is None else acc + t
+        gvb.append(acc)
+
+    # value weighting transpose
+    gvalues = jnp.concatenate([gvb[s] * aexp for s in range(st)], axis=-1)
+    gaexp = None
+    for s in range(st):
+        vs = jax.lax.slice_in_dim(values, s * co, (s + 1) * co, axis=-1)
+        t = gvb[s] * vs
+        gaexp = t if gaexp is None else gaexp + t
+    galpha_fin = _mdot(gaexp, m_expv.T, False)  # [RA, NH]
+    galpha_soft = galpha_fin * dropk2
+
+    # masked-softmax transpose over each receiver's K-row segment
+    al3 = alpha_soft.reshape(r, a, nh)
+    ga3 = galpha_soft.reshape(r, a, nh)
+    dot = jnp.sum(al3 * ga3, axis=1, keepdims=True)
+    glog3 = al3 * (ga3 - dot)
+    glogits = glog3.reshape(ra, nh) * jnp.where(maskf2 > 0.5, 1.0, 0.0)
+
+    # alpha head transpose: logits = group-sum(act * alpha_dot)
+    gz = _mdot(glogits, m_exp, False)  # broadcast per head
+    gact = gz * alpha_dot
+    g_adot = jnp.sum(gz * act, axis=0, keepdims=True)
+    gln = gact * _dsilu(ln)
+    g_lns = jnp.sum(gln * xhat, axis=0, keepdims=True)
+    g_lnb = jnp.sum(gln, axis=0, keepdims=True)
+    gxhat = gln * ln_scale
+
+    def mean_g(z):
+        return _mdot(_mdot(z, m_avg, False), m_exp, False)
+
+    gah = inv * (gxhat - mean_g(gxhat) - xhat * mean_g(gxhat * xhat))
+    galpha_scal = gah
+
+    # conv2 transpose -> g_hidden2
+    ghidden2, g_w2, g_fc2m = _so2_eq_bwd(
+        gvalues, None, f0_2, boths_2, co, co, w2, fc2m, l_max, m_max, mxu_bf16
+    )
+    gh2_blocks = [
+        jax.lax.slice_in_dim(ghidden2, s * co, (s + 1) * co, axis=-1)
+        for s in range(st)
+    ]
+    ggate_scal = gh2_blocks[0] * _dsilu(gate_scal)
+    gacted = [None] + gh2_blocks[1:]
+
+    # grid transpose (+ silu chain, pre-activations recomputed from u)
+    gh_blocks = _grid_silu_factored_bwd(gacted, u, l_max, m_max, n_grid)
+    ghidden = jnp.concatenate(
+        [gb if gb is not None else jnp.zeros_like(hblocks[s])
+         for s, gb in enumerate(gh_blocks)],
+        axis=-1,
+    )
+
+    # conv1 transpose (extra = [alpha_scal | gate_scal] grads)
+    gextra = jnp.concatenate([galpha_scal, ggate_scal], axis=-1)
+    gflat, g_w1, g_fc1m = _so2_eq_bwd(
+        ghidden, gextra, f0_1, boths_1, c2, co, w1, fc1m, l_max, m_max,
+        mxu_bf16,
+    )
+
+    # radial-scale transpose
+    grad_l = [None] * (l_max + 1)
+    gblk = []
+    for ri, (l, m) in enumerate(rows):
+        rl = jax.lax.slice_in_dim(rad, l * c2, (l + 1) * c2, axis=-1)
+        gf = jax.lax.slice_in_dim(gflat, ri * c2, (ri + 1) * c2, axis=-1)
+        gblk.append(gf * rl)
+        t = gf * blks[ri]
+        grad_l[l] = t if grad_l[l] is None else grad_l[l] + t
+    grad = jnp.concatenate(
+        [gl if gl is not None else jnp.zeros((ra, c2), F32) for gl in grad_l],
+        axis=-1,
+    )
+    gxe = _mdot(grad, w_rad.T, mxu_bf16).reshape(r, a, ec)
+    g_wrad = _mdot(xe2.T, grad, mxu_bf16)
+    g_brad = jnp.sum(grad, axis=0, keepdims=True)
+
+    # rotation transpose: src rows -> neighbor-gathered features; tgt rows
+    # -> the receiver's own features (summed over its K edge rows)
+    gsrc = [jax.lax.slice_in_dim(gb, 0, c, axis=-1) for gb in gblk]
+    gtgt = [jax.lax.slice_in_dim(gb, c, c2, axis=-1) for gb in gblk]
+    gxs_rows: List = [None] * s_full
+    gxi_rows: List = [None] * s_full
+    for rr, (l, m) in enumerate(rows):
+        mc = min(l, m_max)
+        mrow = m + mc
+        for col in range(2 * l + 1):
+            idx = offs[l] + mrow * (2 * l + 1) + col
+            dc = jax.lax.slice_in_dim(d2, idx, idx + 1, axis=-1)
+            s = l * l + col
+            t = dc * gsrc[rr]
+            gxs_rows[s] = t if gxs_rows[s] is None else gxs_rows[s] + t
+            ti = dc * gtgt[rr]
+            gxi_rows[s] = ti if gxi_rows[s] is None else gxi_rows[s] + ti
+    gx = jnp.stack(
+        [_mdot(oh2.T, gr, mxu_bf16) for gr in gxs_rows], axis=0
+    )  # [S, A_mol, C]
+    gxi = jnp.stack(
+        [jnp.sum(gr.reshape(r, a, c), axis=1) for gr in gxi_rows], axis=1
+    )  # [R, S, C]
+
+    return (gx, gxi, gxe, g_wrad, g_brad, g_w1, g_fc1m, g_w2, g_fc2m,
+            g_lns, g_lnb, g_adot)
+
+
+# ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
@@ -298,11 +657,12 @@ def _pick_r(a: int, cap: int) -> int:
 
 # receivers-per-program caps (fwd, bwd), bounded by VMEM: at the bench
 # configuration (A=48, K=30→32, L=6/M=2, C=128) the bf16-MXU fwd kernel
-# fits r=4 under the 128 MB budget (4·32 = 128 rows = one full MXU tile)
-# and the vjp-carrying bwd kernel fits r=2. Under fp32 MXU operands every
-# stored residual doubles (measured: bwd r=2 fp32 wants 143.2 MB on a
-# 128 MB chip), so fp32 halves both caps. Overridable for tests/tuning
-# via NABLA_EQV2_R="fwd,bwd".
+# fits r=4 under the 128 MB budget (4·32 = 128 rows = one full MXU tile).
+# The hand-written backward (_attn_pipeline_bwd) keeps only the residuals
+# it re-contracts — unlike the earlier in-kernel jax.vjp, which stored
+# every intermediate and capped bwd at r=2 bf16 / r=1 fp32 — so the bwd
+# runs the same receiver blocking as the forward. Overridable for
+# tests/tuning via NABLA_EQV2_R="fwd,bwd".
 import os as _os
 
 _env = _os.environ.get("NABLA_EQV2_R")
@@ -312,7 +672,7 @@ _R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else None
 def _r_caps(mxu_bf16: bool) -> tuple:
     if _R_CAPS is not None:
         return _R_CAPS
-    return (4, 2) if mxu_bf16 else (2, 1)
+    return (4, 4) if mxu_bf16 else (2, 2)
 
 
 def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
@@ -380,31 +740,15 @@ def _bwd_kernel(x_ref, oh_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref,
     def _init_x():
         gx_ref[...] = jnp.zeros_like(gx_ref)
 
-    oh_val = oh_ref[0]
-    d_val = d_ref[0]
-    maskf = mask_ref[0]
-    dropk = drop_ref[0]
-
-    def f(x, xi, xe, w_rad_, b_rad_, w1_, w2_, ln_s_, ln_b_, adot_, *fcms):
-        fc1m_ = list(fcms[:m_max])
-        fc2m_ = list(fcms[m_max:])
-        return _attn_pipeline(
-            x, oh_val, xi, d_val, xe, maskf, dropk,
-            w_rad_, b_rad_, w1_, fc1m_, w2_, fc2m_, ln_s_, ln_b_, adot_,
-            m_avg, m_exp, m_expv,
-            l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
-            n_grid=n_grid, mxu_bf16=mxu_bf16,
-        )
-
-    args = (x_ref[0], xi_ref[0], xe_ref[0], w_rad, b_rad, w1, w2,
-            ln_s, ln_b, adot, *fc1m, *fc2m)
-    # NOTE: jax.checkpoint(f) would cut residual VMEM (allowing r>1), but
-    # Mosaic cannot lower remat2 inside a kernel body — a hand-written
-    # backward is the only way to shrink the bwd footprint further.
-    _, vjp = jax.vjp(f, *args)
-    grads = vjp(g_ref[0].astype(F32))
-    (gx, gxi, gxe, g_wrad, g_brad, g_w1, g_w2, g_lns, g_lnb, g_adot,
-     *g_fcm) = grads
+    (gx, gxi, gxe, g_wrad, g_brad, g_w1, g_fc1m, g_w2, g_fc2m, g_lns,
+     g_lnb, g_adot) = _attn_pipeline_bwd(
+        x_ref[0], oh_ref[0], xi_ref[0], d_ref[0], xe_ref[0],
+        mask_ref[0], drop_ref[0],
+        w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot,
+        m_avg, m_exp, m_expv, g_ref[0].astype(F32),
+        l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
+        n_grid=n_grid, mxu_bf16=mxu_bf16,
+    )
     gx_ref[0] += gx.astype(gx_ref.dtype)
     gxi_ref[0] = gxi.astype(gxi_ref.dtype)
     gxe_ref[0] = gxe.astype(gxe_ref.dtype)
@@ -413,7 +757,7 @@ def _bwd_kernel(x_ref, oh_ref, xi_ref, d_ref, xe_ref, mask_ref, drop_ref,
     #  fc1m..., fc2m...]; the static expander matrices get zero grads
     ordered = [g_wrad, g_brad, g_w1, g_w2, g_lns, g_lnb, g_adot,
                jnp.zeros_like(m_avg), jnp.zeros_like(m_exp),
-               jnp.zeros_like(m_expv), *g_fcm]
+               jnp.zeros_like(m_expv), *g_fc1m, *g_fc2m]
     for ref, gval in zip(gw_refs, ordered):
         ref[...] += gval.astype(ref.dtype)
 

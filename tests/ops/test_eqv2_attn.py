@@ -96,3 +96,79 @@ def test_receiver_block_sizes_agree(monkeypatch):
     v2, g2 = run()
     np.testing.assert_allclose(v1, v2, rtol=1e-5)
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-7)
+
+
+def test_pipeline_bwd_matches_jax_vjp():
+    """The hand-written _attn_pipeline_bwd must reproduce jax.vjp of
+    _attn_pipeline for EVERY differentiable input (pure jnp, no pallas)."""
+    import nabladft_tpu.ops.pallas.eqv2_attn as ak
+    from nabladft_tpu.ops import so3
+
+    l_max, m_max, c, nh, va, vc = 2, 1, 8, 2, 4, 4
+    co = nh * vc
+    n0 = l_max + 1
+    n_grid = 4 * (l_max + 1) ** 2
+    r, k, a_mol, ec = 2, 8, 8, 8
+    s_full = (l_max + 1) ** 2
+    _, kw = so3.trunc_compact_layout(l_max, m_max)
+
+    rng = np.random.default_rng(7)
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    x = f32(s_full, a_mol, c)
+    xi = f32(r, s_full, c)
+    xe = f32(r, k, ec)
+    # masked one-hot gather + masked Wigner + neighbor mask
+    mask = rng.random((r, k)) > 0.25
+    idx = rng.integers(0, a_mol, (r, k))
+    oh = jnp.asarray(
+        (np.eye(a_mol)[idx] * mask[..., None]).astype(np.float32)
+    )
+    d = f32(r, k, kw) * jnp.asarray(mask[..., None], jnp.float32)
+    maskf = jnp.asarray(mask[..., None], jnp.float32)
+    dropk = jnp.asarray(
+        (rng.random((r, k, nh)) > 0.1).astype(np.float32) / 0.9
+    )
+    w_rad = f32(ec, n0 * 2 * c)
+    b_rad = f32(1, n0 * 2 * c)
+    w1 = f32(n0 * 2 * c, n0 * co + nh * va + co)
+    w2 = f32(n0 * co, n0 * co)
+    fc1m = [f32((l_max + 1 - m) * 2 * c, 2 * (l_max + 1 - m) * co)
+            for m in range(1, m_max + 1)]
+    fc2m = [f32((l_max + 1 - m) * co, 2 * (l_max + 1 - m) * co)
+            for m in range(1, m_max + 1)]
+    ln_s = f32(1, nh * va)
+    ln_b = f32(1, nh * va)
+    adot = f32(1, nh * va)
+    m_avg, m_exp, m_expv = ak._expanders(nh, va, co)
+    kw_static = dict(l_max=l_max, m_max=m_max, c=c, co=co, nh=nh, va=va,
+                     n_grid=n_grid, mxu_bf16=False)
+
+    def f(x, xi, xe, w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot):
+        return ak._attn_pipeline(
+            x, oh, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2,
+            fc2m, ln_s, ln_b, adot, m_avg, m_exp, m_expv, **kw_static)
+
+    args = (x, xi, xe, w_rad, b_rad, w1, fc1m, w2, fc2m, ln_s, ln_b, adot)
+    out, vjp = jax.vjp(f, *args)
+    g = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    ref = vjp(g)
+
+    got = ak._attn_pipeline_bwd(
+        x, oh, xi, d, xe, maskf, dropk, w_rad, b_rad, w1, fc1m, w2, fc2m,
+        ln_s, ln_b, adot, m_avg, m_exp, m_expv, g, **kw_static)
+    (gx, gxi, gxe, g_wrad, g_brad, g_w1, g_fc1m, g_w2, g_fc2m,
+     g_lns, g_lnb, g_adot) = got
+    names_ref = dict(zip(
+        ["x", "xi", "xe", "w_rad", "b_rad", "w1", "fc1m", "w2", "fc2m",
+         "ln_s", "ln_b", "adot"], ref))
+    names_got = dict(x=gx, xi=gxi, xe=gxe, w_rad=g_wrad, b_rad=g_brad,
+                     w1=g_w1, fc1m=g_fc1m, w2=g_w2, fc2m=g_fc2m,
+                     ln_s=g_lns, ln_b=g_lnb, adot=g_adot)
+    for name in names_ref:
+        r_l = jax.tree_util.tree_leaves(names_ref[name])
+        g_l = jax.tree_util.tree_leaves(names_got[name])
+        assert len(r_l) == len(g_l), name
+        for rv, gv in zip(r_l, g_l):
+            np.testing.assert_allclose(
+                np.asarray(gv), np.asarray(rv), rtol=2e-4, atol=2e-6,
+                err_msg=name)
