@@ -322,6 +322,30 @@ def run_all() -> None:
     import sys
 
     print_order = ["painn", *sorted(ZOO_BENCH), "qhnet"]
+    # pre-flight: if the device is unreachable (the axon tunnel has wedged
+    # for hours at a stretch), fail ALL lines in ~4 min instead of hanging
+    # each model subprocess to its 30-min cap (9 x 1800 s).
+    probe_err = None
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((512, 512), jnp.bfloat16);"
+             "(x @ x).sum().block_until_ready()"],
+            capture_output=True, text=True, timeout=240,
+        )
+        if probe.returncode != 0:
+            probe_err = "device probe failed: " + (probe.stderr or "")[-200:]
+    except subprocess.TimeoutExpired:
+        probe_err = "device probe timed out (240s): tunnel wedged?"
+    if probe_err:
+        for name in print_order:
+            print(json.dumps({
+                "metric": f"{name}_train_conformers_per_sec_per_chip",
+                "value": None, "unit": "conformers/s/chip",
+                "vs_baseline": None, "error": probe_err,
+            }), flush=True)
+        return
     for name in print_order:
         try:
             res = subprocess.run(

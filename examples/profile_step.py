@@ -1,0 +1,173 @@
+"""Step-time ablation profiler for the perf-laggard zoo models.
+
+Times a real train step under component knockouts so kernel work targets
+where the time actually goes (VERDICT r2 next-items 1 & 9). Knockouts are
+module-level monkeypatches applied before init/jit, so each variant is a
+self-consistent compiled program:
+
+  * equiformer_v2: full | no_ffn (GridFFN -> 0) | no_attn (attention -> 0)
+    | norms_only (both -> 0) | layers_k (k blocks instead of 12)
+  * escn:          full | layers_k
+  * gemnet_oc:     full | blocks_k
+
+Zeroed components keep their parameters (init runs patched but the tree is
+unchanged in structure where possible); we only compare *times*, never
+outputs. Each variant reports median-of-3 step time at the bench batch.
+
+Usage: python examples/profile_step.py --model equiformer_v2
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+TINY = False  # --tiny: CPU smoke test of the ablation mechanics
+
+_TINY_KW = {
+    "equiformer_v2": dict(num_layers=2, sphere_channels=8, attn_alpha_channels=4,
+                          num_heads=2, attn_value_channels=2, ffn_hidden_channels=8,
+                          l_max=2, m_max=1, max_neighbors=4, use_pallas=False),
+    "escn": dict(num_layers=2, l_max=2, m_max=1, sphere_channels=8, hidden=8,
+                 edge_channels=8, max_neighbors=4, num_sphere_samples=8,
+                 use_pallas=False),
+    "gemnet_oc": dict(num_blocks=2, emb_size_atom=8, emb_size_edge=8,
+                      num_radial=8, num_spherical=3, max_neighbors=4,
+                      max_neighbors_qint=2),
+}
+
+
+def _bench_pieces(name):
+    import bench
+
+    spec = bench.ZOO_BENCH[name]
+    if TINY:
+        spec = {**spec, "batch": 2, "kwargs": _TINY_KW[name]}
+    batch = bench.make_batch(np.random.default_rng(0), batch_size=spec["batch"])
+    return spec, batch
+
+
+def _time_step(name, spec, batch, kwargs_override=None, n=8, repeats=3):
+    from nabladft_tpu.models import create_model
+    from nabladft_tpu.train import Trainer, TrainerConfig
+
+    kwargs = dict(spec["kwargs"])
+    if kwargs_override:
+        kwargs.update(kwargs_override)
+    model = create_model(name, **kwargs)
+    cfg = TrainerConfig(
+        schedule="constant", lr=1e-4, log_every_n_steps=10**9,
+        loss_specs={"energy": "l1", "forces": "l2norm"},
+        loss_coefs={"energy": 1.0, "forces": 1.0},
+        force_grads=spec.get("force_grads", "direct"),
+    )
+    trainer = Trainer(model, cfg)
+    trainer.init_state(batch)
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer._jit_train_step(state, batch)
+    float(metrics["train/total"])
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = trainer._jit_train_step(state, batch)
+        float(metrics["train/total"])
+        times.append((time.perf_counter() - t0) / n)
+    return float(np.median(times))
+
+
+@contextlib.contextmanager
+def _patched(obj, attr, fn):
+    orig = getattr(obj, attr)
+    setattr(obj, attr, fn)
+    try:
+        yield
+    finally:
+        setattr(obj, attr, orig)
+
+
+def profile_equiformer_v2():
+    from nabladft_tpu.models import equiformer_v2 as m
+
+    spec, batch = _bench_pieces("equiformer_v2")
+    out = {}
+    out["full_12"] = _time_step("equiformer_v2", spec, batch)
+    out["layers_6"] = _time_step("equiformer_v2", spec, batch,
+                                 {"num_layers": 6})
+
+    def ffn_zero(self, x):
+        return x * 0.0
+
+    with _patched(m.GridFFN, "__call__", ffn_zero):
+        out["no_ffn"] = _time_step("equiformer_v2", spec, batch)
+
+    def attn_zero(self, x, *a, **k):
+        return x * 0.0
+
+    with _patched(m.PallasSO2GraphAttention, "__call__", attn_zero), \
+         _patched(m.SO2GraphAttention, "__call__", attn_zero):
+        out["no_attn"] = _time_step("equiformer_v2", spec, batch)
+    with _patched(m.GridFFN, "__call__", ffn_zero), \
+         _patched(m.PallasSO2GraphAttention, "__call__", attn_zero), \
+         _patched(m.SO2GraphAttention, "__call__", attn_zero):
+        out["norms_and_heads_only"] = _time_step("equiformer_v2", spec, batch)
+    return out
+
+
+def profile_escn():
+    spec, batch = _bench_pieces("escn")
+    out = {}
+    out["full_8"] = _time_step("escn", spec, batch)
+    out["layers_4"] = _time_step("escn", spec, batch, {"num_layers": 4})
+    from nabladft_tpu.models import escn as m
+
+    def tail_zero(x, x_message, to_g, from_g, c, dtype):
+        return x_message * 0.0
+
+    with _patched(m, "_sphere_mlp_tail", tail_zero):
+        out["no_sphere_mlp"] = _time_step("escn", spec, batch)
+    return out
+
+
+def profile_gemnet_oc():
+    spec, batch = _bench_pieces("gemnet_oc")
+    out = {}
+    out["full_4"] = _time_step("gemnet_oc", spec, batch)
+    out["blocks_2"] = _time_step("gemnet_oc", spec, batch, {"num_blocks": 2})
+    out["no_qint"] = _time_step("gemnet_oc", spec, batch,
+                                {"quad_interaction": False})
+    return out
+
+
+PROFILES = {
+    "equiformer_v2": profile_equiformer_v2,
+    "escn": profile_escn,
+    "gemnet_oc": profile_gemnet_oc,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="equiformer_v2", choices=sorted(PROFILES))
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+    if args.tiny:
+        global TINY
+        TINY = True
+    res = PROFILES[args.model]()
+    res = {k: round(v * 1e3, 1) for k, v in res.items()}
+    print(json.dumps({"model": args.model, "step_ms": res}))
+
+
+if __name__ == "__main__":
+    main()
