@@ -7,11 +7,13 @@ download with ETag validation, and restore weights into a framework model.
 
 Published checkpoints are PyTorch state dicts, so restoring them here means
 a structural conversion. Converters are registered per family; they map
-torch parameter names/layouts onto the flax parameter tree. SchNet and
-PaiNN converters cover the workhorse models; families whose TPU
-architecture is a re-design rather than a re-parameterization (QHNet's
-fused tensor products, eSCN's table-free rotations) are better re-trained —
-`convertible_families()` reports which is which.
+torch parameter names/layouts onto the flax parameter tree. Covered:
+SchNet, PaiNN, DimeNet++, Graphormer3D, eSCN (the eSCN conversion is
+verbatim — our table-free real-SH basis proves to be exactly e3nn's under
+a fixed axis relabel, see convert_escn). Families whose TPU architecture
+is a re-design rather than a re-parameterization (QHNet/PhiSNet fused
+tensor products, GemNet-OC's collapsed residual topology) are better
+re-trained — `convertible_families()` reports which is which.
 
 Note torch Linear stores weight as [out, in]; flax Dense as [in, out].
 """
@@ -297,10 +299,113 @@ def convert_graphormer3d(state: Dict[str, np.ndarray], params: Dict) -> Dict:
     return params
 
 
+def _fill_rows(params: Dict, dotted: str, value: np.ndarray) -> None:
+    """_fill for embedding tables whose element-count rows may differ:
+    copies min(rows) and leaves the rest at init (reference tables carry
+    max_num_elements=90+ rows; the TPU models default to 65)."""
+    node = params
+    parts = dotted.split("/")
+    for p in parts[:-1]:
+        node = node[p]
+    target = np.asarray(node[parts[-1]])
+    if target.shape[1:] != value.shape[1:]:
+        raise ValueError(
+            f"shape mismatch at {dotted}: {target.shape} vs {value.shape}"
+        )
+    out = target.copy()
+    r = min(target.shape[0], value.shape[0])
+    out[:r] = value[:r]
+    node[parts[-1]] = out.astype(target.dtype)
+
+
+@register_converter("escn")
+def convert_escn(state: Dict[str, np.ndarray], params: Dict, model=None) -> Dict:
+    """Reference eSCN (escn/escn.py:36-491) → models.escn.ESCN (XLA layout).
+
+    Verbatim weight copy — no permutations or sign fixups. The two models'
+    edge-frame coefficient stacks are IDENTICAL once the per-edge alignment
+    gauges are matched: our recursion-built real-SH basis is e3nn's composed
+    with the fixed cyclic axis relabel G:(x,y,z)→(y,z,x), i.e.
+    D_ours(G) · W == I exactly for every l ≤ 11, where W is the basis
+    intertwiner pinned against the reference's Jd.pt tables
+    (tests/models/test_pretrained_escn.py::test_basis_transport_identity).
+    Given that, the reference's m-primary coefficient grouping
+    (escn/so3.py:70-110) is exactly our static m-major storage order, so
+    every SO(2) weight maps 1:1.
+
+    Gauge note: the reference aligns edges to ŷ with a RANDOM per-forward
+    gauge (escn.py:449-452 uses a random reference vector); ours aligns to
+    ẑ deterministically. SO(2) convolutions are exactly gauge-invariant;
+    the truncated-grid activation is gauge-invariant up to its own aliasing
+    — noise the reference itself accepts by randomizing the gauge.
+    Remaining (quadrature-level) redesign deltas: Gauss-Legendre×uniform
+    grid vs e3nn soft-grid; Fibonacci sphere samples vs CalcSpherePoints.
+
+    Keys: registry-rebuilt module paths (the Lightning level stripped,
+    model_registry.py:143-148)."""
+    if not any(k.startswith("sphere_embedding") for k in state):
+        for pre in ("net.", "model.", "module."):
+            if any(k == pre + "sphere_embedding.weight" for k in state):
+                state = {k[len(pre):]: v for k, v in state.items() if k.startswith(pre)}
+                break
+    p = params["params"]
+    _fill_rows(p, "sphere_embedding/embedding", state["sphere_embedding.weight"])
+
+    n_layers = len({k.split(".")[1] for k in state if k.startswith("layer_blocks.")})
+    # mmax from the so2_conv module count of layer 0
+    m_max = len({k.split(".")[5] for k in state
+                 if k.startswith("layer_blocks.0.message_block.so2_block_source.so2_conv.")})
+    for i in range(n_layers):
+        t = f"layer_{i}"
+        mb = f"layer_blocks.{i}.message_block."
+        eb = mb + "edge_block."
+        _fill(p, f"{t}/edge_block/fc_dist/kernel", _t(state[eb + "fc1_dist.weight"]))
+        _fill(p, f"{t}/edge_block/fc_dist/bias", state[eb + "fc1_dist.bias"])
+        _fill_rows(p, f"{t}/edge_block/src_embed/embedding", state[eb + "source_embedding.weight"])
+        _fill_rows(p, f"{t}/edge_block/dst_embed/embedding", state[eb + "target_embedding.weight"])
+        _fill(p, f"{t}/edge_block/fc_edge/kernel", _t(state[eb + "fc1_edge_attr.weight"]))
+        _fill(p, f"{t}/edge_block/fc_edge/bias", state[eb + "fc1_edge_attr.bias"])
+        for src, dst in (("so2_block_source", "so2_source"), ("so2_block_target", "so2_target")):
+            sb = mb + src + "."
+            _fill(p, f"{t}/{dst}/fc_dist0/kernel", _t(state[sb + "fc1_dist0.weight"]))
+            _fill(p, f"{t}/{dst}/fc_dist0/bias", state[sb + "fc1_dist0.bias"])
+            _fill(p, f"{t}/{dst}/fc1_m0/kernel", _t(state[sb + "fc1_m0.weight"]))
+            _fill(p, f"{t}/{dst}/fc2_m0/kernel", _t(state[sb + "fc2_m0.weight"]))
+            for m in range(1, m_max + 1):
+                c = f"{sb}so2_conv.{m - 1}."
+                mt = f"{t}/{dst}/so2_m{m}"
+                _fill(p, f"{mt}/fc_dist/kernel", _t(state[c + "fc1_dist.weight"]))
+                _fill(p, f"{mt}/fc_dist/bias", state[c + "fc1_dist.bias"])
+                for w in ("fc1_r", "fc2_r", "fc1_i", "fc2_i"):
+                    _fill(p, f"{mt}/{w}/kernel", _t(state[c + w + ".weight"]))
+        lb = f"layer_blocks.{i}."
+        for w in ("fc1_sphere", "fc2_sphere", "fc3_sphere"):
+            _fill(p, f"{t}/{w}/kernel", _t(state[lb + w + ".weight"]))
+
+    for blk, ours in (("energy_block", "energy"), ("force_block", "force")):
+        _fill(p, f"{ours}_fc1/kernel", _t(state[f"{blk}.fc1.weight"]))
+        _fill(p, f"{ours}_fc1/bias", state[f"{blk}.fc1.bias"])
+        _fill(p, f"{ours}_fc2/kernel", _t(state[f"{blk}.fc2.weight"]))
+        _fill(p, f"{ours}_fc2/bias", state[f"{blk}.fc2.bias"])
+        _fill(p, f"{ours}_fc3/kernel", _t(state[f"{blk}.fc3.weight"]))
+    return params
+
+
 def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example_batch):
     """Convert a torch state dict into `model`'s parameter tree (the
-    download-free core of get_pretrained_params, used by the golden tests)."""
+    download-free core of get_pretrained_params, used by the golden tests).
+
+    Converters target the canonical (XLA) parameter layout; for models whose
+    fused-Pallas path uses a packed layout (eSCN), the result is remapped
+    with the library layout converters (models/param_convert.py)."""
     import jax
+
+    to_pallas = False
+    if family.lower() == "escn" and getattr(model, "_pallas_enabled", lambda: False)():
+        import dataclasses
+
+        to_pallas = True
+        model = dataclasses.replace(model, use_pallas=False)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), example_batch)
     params = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
@@ -314,6 +419,10 @@ def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example
         converted = conv(state, params, model=model)
     else:
         converted = conv(state, params)
+    if to_pallas:
+        from nabladft_tpu.models.param_convert import escn_params
+
+        converted = escn_params(converted, to="pallas")
     return jax.tree_util.tree_map(np.asarray, converted)
 
 
@@ -332,7 +441,7 @@ def get_pretrained_params(
     aliases = {
         "painnoc": "painn", "schnet": "schnet", "painn": "painn",
         "dimenet++": "dimenetpp", "graphormer3dsmall": "graphormer3d",
-        "gemnetoc": "gemnet_oc",
+        "gemnetoc": "gemnet_oc", "escnoc": "escn",
     }
     family = aliases.get(family, family)
     if family not in _CONVERTERS:
