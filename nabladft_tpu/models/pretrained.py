@@ -391,6 +391,20 @@ def convert_escn(state: Dict[str, np.ndarray], params: Dict, model=None) -> Dict
     return params
 
 
+# EquiformerV2: deliberately NOT convertible. The reference's shipped config
+# (config/model/equiformer_v2_oc20.yaml) leaves use_m_share_rad=False, so each
+# SO2_Convolution carries an internal per-m RadialFunction MLP
+# (so2_ops.py via radial_function.py: Linear+LayerNorm+SiLU stacks), and every
+# attention block owns its own source/target atom-edge embeddings
+# (transformer_block.py:108-115, share_atom_edge_embedding=false). Our TPU
+# design intentionally uses the use_m_share_rad=True variant — a single
+# per-(l,channel) radial Dense whose scaling commutes with the edge rotation
+# and folds into the fused Pallas attention kernel — plus one shared global
+# edge embedding. Parameter sets are structurally disjoint; re-train with the
+# TPU trainer instead (the same verbatim-basis argument as convert_escn WOULD
+# apply if the parameterizations matched — see test_pretrained_escn).
+
+
 def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example_batch):
     """Convert a torch state dict into `model`'s parameter tree (the
     download-free core of get_pretrained_params, used by the golden tests).
