@@ -174,13 +174,17 @@ def weighted_tensor_product(
     """uvu-mode TP: out[l3] += w_path ⊙ (x[l1] ⊗ sh[l2])_{l3} per channel.
 
     xs[l1]: [..., C, 2l1+1]; sh[l2]: [..., 2l2+1]; weights: [..., P, C]
-    (P = number of paths). Pure einsum chain over static CG tables.
+    array OR a list of P per-path [..., C] arrays. The list form lets the
+    caller hand in lazily-projected per-path weights so the full
+    [..., P·C] weight tensor never materializes — that tensor alone is
+    ~7 GB at the production eval bucket (B=8, A=62, P=65, C=128), the
+    dominant term of the 22 GB full-matrix memory wall.
     """
     paths = _tp_paths(len(xs) - 1, len(sh) - 1, l_out_max)
     outs: List[Optional[jnp.ndarray]] = [None] * (l_out_max + 1)
     for p, (l1, l2, l3) in enumerate(paths):
         cg = jnp.asarray(so3.real_cg(l1, l2, l3), xs[0].dtype)
-        w = weights[..., p, :]  # [..., C]
+        w = weights[p] if isinstance(weights, (list, tuple)) else weights[..., p, :]
         term = jnp.einsum("abm,...ca,...b->...cm", cg, xs[l1], sh[l2])
         term = term * w[..., None]
         outs[l3] = term if outs[l3] is None else outs[l3] + term
@@ -194,12 +198,21 @@ def self_tensor_product(
     xs_a: List[jnp.ndarray], xs_b: List[jnp.ndarray], l_out_max: int, weights: jnp.ndarray
 ) -> List[jnp.ndarray]:
     """uuu-mode TP of two per-l feature lists with learned per-path-channel
-    weights [P, C]."""
+    weights [P, C].
+
+    The contraction is forced two-step — cg into xs_a first, then xs_b —
+    because PairNetLayer feeds broadcast operands (xs_a [B,A,1,C,m1],
+    xs_b [B,1,A,C,m2]) and XLA's dot reassociation otherwise materializes
+    per-channel outer products [B,C,A·m1,A·m2] (1.3 GB each at the
+    production eval bucket). Step one stays on the small un-broadcast
+    side; only the final [B,A,A,C,m3] per-path term is pair-sized.
+    """
     paths = _tp_paths(len(xs_a) - 1, len(xs_b) - 1, l_out_max)
     outs: List[Optional[jnp.ndarray]] = [None] * (l_out_max + 1)
     for p, (l1, l2, l3) in enumerate(paths):
         cg = jnp.asarray(so3.real_cg(l1, l2, l3), xs_a[0].dtype)
-        term = jnp.einsum("abm,...ca,...cb->...cm", cg, xs_a[l1], xs_b[l2])
+        z = jnp.einsum("abm,...ca->...cbm", cg, xs_a[l1])
+        term = jnp.einsum("...cbm,...cb->...cm", z, xs_b[l2])
         term = term * weights[p][..., None]
         outs[l3] = term if outs[l3] is None else outs[l3] + term
     return [
@@ -333,10 +346,22 @@ class ConvNetLayer(nn.Module):
             )[:, :a]  # [B, A, S, C]
             agg = _flat_to_list(out_k, LMAX)
         else:
-            w = jnp.einsum("...h,hk->...k", h_r, w2r) + b2r
-            w = w * (jnp.einsum("...h,hk->...k", h_s, w2s) + b2s)
-            w = w.reshape(*w.shape[:-1], n_paths, c)
-            w = jnp.where(adj[..., None, None], w, 0.0)
+            # per-path weight projection: slicing the second-MLP kernels
+            # keeps each [B,A,A,c] weight alive only while its path term is
+            # computed — mathematically identical to projecting the full
+            # [B,A,A,P·c] tensor at once, but that tensor (plus its twin and
+            # the masked copy) IS the eval memory wall (~7 GB each at B=8)
+            w = [
+                jnp.where(
+                    adj[..., None],
+                    (jnp.einsum("...h,hk->...k", h_r, w2r[:, p * c:(p + 1) * c])
+                     + b2r[p * c:(p + 1) * c])
+                    * (jnp.einsum("...h,hk->...k", h_s, w2s[:, p * c:(p + 1) * c])
+                       + b2s[p * c:(p + 1) * c]),
+                    0.0,
+                )
+                for p in range(n_paths)
+            ]
             x_j = [
                 jnp.broadcast_to(x[:, None], (x.shape[0], x.shape[1], *x.shape[1:]))
                 for x in gated
@@ -427,15 +452,24 @@ class PairNetLayer(nn.Module):
                 for l in range(LMAX + 1)
             ]  # [B,A,A,C,2l+1]
         else:
-            w = jnp.einsum("...h,hk->...k", h_r, w2r) + b2r
-            w = w * (jnp.einsum("...h,hk->...k", h_s, w2s) + b2s)
-            w = w.reshape(*w.shape[:-1], n_paths, c)
-            w = jnp.where(full_mask[..., None, None], w, 0.0)
+            # lazily-projected per-path weights (see ConvNetLayer): never
+            # materialize the [B,A,A,P·c] weight tensor
+            w = [
+                jnp.where(
+                    full_mask[..., None],
+                    (jnp.einsum("...h,hk->...k", h_r, w2r[:, p * c:(p + 1) * c])
+                     + b2r[p * c:(p + 1) * c])
+                    * (jnp.einsum("...h,hk->...k", h_s, w2s[:, p * c:(p + 1) * c])
+                       + b2s[p * c:(p + 1) * c]),
+                    0.0,
+                )
+                for p in range(n_paths)
+            ]
             pair = self_tensor_product(
                 [x[:, :, None] for x in node],
                 [x[:, None, :] for x in node],
                 LMAX,
-                [w[..., p, :] for p in range(n_paths)],
+                w,
             )  # [B,A,A,C,2l+1]
         pair = NormGate(name="ng_post")(pair)
         out = IrrepsLinear(c, name="lin_out")(pair)
@@ -451,12 +485,16 @@ class Expansion(nn.Module):
     layout: OrbitalLayout
 
     @nn.compact
-    def __call__(self, fs: List[jnp.ndarray], weights: jnp.ndarray, bias: jnp.ndarray):
-        """fs[l]: [..., Cb, 2l+1]; weights: [..., W]; bias: [..., Wb].
-        Returns [..., R, R]."""
+    def __call__(self, fs: List[jnp.ndarray], weights, bias: jnp.ndarray):
+        """fs[l]: [..., Cb, 2l+1]; weights: [..., W] array OR an
+        (h, w2, b2) triple from GateMLPSplit — the lazy form projects each
+        block's weight slice as h @ w2[:, s] + b2[s] on demand, so the full
+        [..., W] tensor (W ≈ 6.4k → 0.8 GB at the production eval bucket)
+        never materializes. bias: [..., Wb]. Returns [..., R, R]."""
         cb = fs[0].shape[-2]
         groups = self.layout.group_slices()
         lead = fs[0].shape[:-2]
+        lazy = isinstance(weights, tuple)
         out = jnp.zeros((*lead, self.layout.R, self.layout.R), fs[0].dtype)
         w_off, b_off = 0, 0
         for lo1, off1, mul1 in groups:
@@ -465,7 +503,14 @@ class Expansion(nn.Module):
                 for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, len(fs) - 1) + 1):
                     cg = jnp.asarray(so3.real_cg(lo1, lo2, l_in), fs[0].dtype)
                     nw = cb * mul1 * mul2
-                    w = weights[..., w_off : w_off + nw].reshape(*lead, cb, mul1, mul2)
+                    if lazy:
+                        h, w2, b2 = weights
+                        w = (
+                            jnp.einsum("...h,hk->...k", h, w2[:, w_off : w_off + nw])
+                            + b2[w_off : w_off + nw]
+                        ).reshape(*lead, cb, mul1, mul2)
+                    else:
+                        w = weights[..., w_off : w_off + nw].reshape(*lead, cb, mul1, mul2)
                     w_off += nw
                     term = jnp.einsum("...wk,...wuv->...uvk", fs[l_in], w) / cb
                     if l_in == 0:
@@ -610,7 +655,10 @@ class QHNet(nn.Module):
         # adds per-path [B,A,A,cb,mul,mul] intermediates — remat the whole
         # head so the backward recomputes instead of holding them
         def pair_head(fij, pair_scal):
-            w_ij = MLP([c, n_w], name="fc_ij")(pair_scal)
+            # GateMLPSplit is param-compatible with MLP([c, n_w]); the lazy
+            # triple lets Expansion project per-block weight slices instead
+            # of materializing the [B,A,A,n_w] tensor (n_w=6432 -> 0.8 GB)
+            w_ij = GateMLPSplit(c, n_w, name="fc_ij")(pair_scal)
             b_ij = MLP([c, n_b], name="fc_ij_bias")(pair_scal)
             return Expansion(layout, name="expand_ij")(fij, w_ij, b_ij)
 
