@@ -18,10 +18,12 @@ Semantics parity:
   * history ring buffer of `memory` entries; unused slots carry rho = 0 so
     the fixed-length two-loop recursion is a no-op over them;
   * line searches (reference LineSearch, optimization/line_search.py:4-515:
-    a vectorized Moré–Thuente over per-config task states): here two
-    compiled variants — "armijo" backtracking (function values only) and
-    "wolfe", a fixed-trial strong-Wolfe bracketing search (function +
-    gradient per trial, per-molecule bracket state as masked vectors).
+    a per-config Moré–Thuente driven by host-side task states): three
+    compiled variants — "armijo" backtracking (function values only),
+    "wolfe", a fixed-trial strong-Wolfe bracketing search, and "mt", the
+    reference's adaptive MINPACK dcsrch itself, vectorized lane-per-config
+    inside one `lax.while_loop` (_mt_search; use ls_c1=0.23, ls_c2=0.46 to
+    match the reference's calling convention, optimizers.py:654-655).
 
 Trajectories and restart (reference optimizers.py:269-290: per-structure
 extxyz dump each step + pickle restart): the compiled loop keeps frames on
@@ -126,6 +128,273 @@ def _wolfe_search(compute, st, dr, node_mask, trials, c1, c2):
     )
 
 
+def _safe_div(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+
+
+class _MTState(NamedTuple):
+    """Per-config dcsrch state vectors (reference line_search.py save/step)."""
+
+    stp: jnp.ndarray       # current trial step (to be / just evaluated)
+    old_stp: jnp.ndarray   # previously evaluated step
+    bracket: jnp.ndarray   # bool
+    stage: jnp.ndarray     # i32 (1 or 2)
+    ginit: jnp.ndarray
+    gtest: jnp.ndarray
+    gx: jnp.ndarray
+    gy: jnp.ndarray
+    finit: jnp.ndarray
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    stx: jnp.ndarray
+    sty: jnp.ndarray
+    stmin: jnp.ndarray
+    stmax: jnp.ndarray
+    width: jnp.ndarray
+    width1: jnp.ndarray
+    done: jnp.ndarray      # bool: CONVERGENCE / WARNING / ERROR reached
+    it: jnp.ndarray        # i32 scalar
+
+
+def _dcstep(st: _MTState, fp, gp, stpmin, stpmax_p, xtol):
+    """Vectorized MINPACK dcstep + dcsrch interval logic
+    (reference line_search.py:343-489 update / :126-342 step tail).
+
+    fp/gp: φ, φ' at st.stp. Returns the updated state with the NEXT trial
+    in `stp` (not yet maxstep-capped — the caller applies determine_step).
+    """
+    stx, sty, stp = st.stx, st.sty, st.stp
+    fx, fy, gx, gy = st.fx, st.fy, st.gx, st.gy
+    sign = gp * jnp.sign(gx)
+
+    d_sp = stp - stx
+    theta = 3.0 * _safe_div(fx - fp, d_sp) + gx + gp
+    s = jnp.maximum(jnp.abs(theta), jnp.maximum(jnp.abs(gx), jnp.abs(gp)))
+    gam_sq = (_safe_div(theta, s)) ** 2 - _safe_div(gx, s) * _safe_div(gp, s)
+    gamma = s * jnp.sqrt(jnp.maximum(gam_sq, 0.0))
+
+    case1 = fp > fx
+    case2 = ~case1 & (sign < 0)
+    case3 = ~case1 & ~case2 & (jnp.abs(gp) < jnp.abs(gx))
+    case4 = ~case1 & ~case2 & ~case3
+
+    # -- case 1: higher value -> bracketed; cubic vs mid(cubic, quadratic)
+    g1 = jnp.where(stp < stx, -gamma, gamma)
+    p1 = (g1 - gx) + theta
+    q1 = ((g1 - gx) + g1) + gp
+    stpc1 = stx + _safe_div(p1, q1) * d_sp
+    stpq1 = stx + 0.5 * _safe_div(gx, _safe_div(fx - fp, d_sp) + gx) * d_sp
+    stpf1 = jnp.where(
+        jnp.abs(stpc1 - stx) < jnp.abs(stpq1 - stx), stpc1,
+        stpc1 + 0.5 * (stpq1 - stpc1),
+    )
+
+    # -- case 2: lower value, opposite derivative signs -> bracketed
+    g2 = jnp.where(stp > stx, -gamma, gamma)
+    p2 = (g2 - gp) + theta
+    q2 = ((g2 - gp) + g2) + gx
+    stpc2 = stp + _safe_div(p2, q2) * (stx - stp)
+    stpq2 = stp + _safe_div(gp, gp - gx) * (stx - stp)
+    stpf2 = jnp.where(jnp.abs(stpc2 - stp) > jnp.abs(stpq2 - stp), stpc2, stpq2)
+
+    # -- case 3: lower value, same sign, |g| decreasing
+    g3 = jnp.where(stp > stx, -gamma, gamma)
+    p3 = (g3 - gp) + theta
+    q3 = (g3 + (gx - gp)) + g3
+    r3 = _safe_div(p3, q3)
+    stpc3 = jnp.where(
+        (r3 < 0.0) & (gamma != 0.0), stp + r3 * (stx - stp),
+        jnp.where(stp > stx, stpmax_p, stpmin),
+    )
+    stpq3 = stp + _safe_div(gp, gp - gx) * (stx - stp)
+    stpf3_br = jnp.where(jnp.abs(stpc3 - stp) < jnp.abs(stpq3 - stp), stpc3, stpq3)
+    stpf3_br = jnp.where(
+        stp > stx,
+        jnp.minimum(stp + 0.66 * (sty - stp), stpf3_br),
+        jnp.maximum(stp + 0.66 * (sty - stp), stpf3_br),
+    )
+    stpf3_nb = jnp.where(jnp.abs(stpc3 - stp) > jnp.abs(stpq3 - stp), stpc3, stpq3)
+    stpf3_nb = jnp.clip(stpf3_nb, stpmin, stpmax_p)
+    stpf3 = jnp.where(st.bracket, stpf3_br, stpf3_nb)
+
+    # -- case 4: lower value, same sign, |g| not decreasing
+    d_spy = sty - stp
+    theta4 = 3.0 * _safe_div(fp - fy, d_spy) + gy + gp
+    s4 = jnp.maximum(jnp.abs(theta4), jnp.maximum(jnp.abs(gy), jnp.abs(gp)))
+    gam4 = s4 * jnp.sqrt(
+        jnp.maximum((_safe_div(theta4, s4)) ** 2 - _safe_div(gy, s4) * _safe_div(gp, s4), 0.0)
+    )
+    g4 = jnp.where(stp > sty, -gam4, gam4)
+    p4 = (g4 - gp) + theta4
+    q4 = ((g4 - gp) + g4) + gy
+    stpc4 = stp + _safe_div(p4, q4) * d_spy
+    stpf4 = jnp.where(
+        st.bracket, stpc4, jnp.where(stp > stx, stpmax_p, stpmin)
+    )
+
+    stpf = jnp.where(case1, stpf1,
+                     jnp.where(case2, stpf2,
+                               jnp.where(case3, stpf3, stpf4)))
+    bracket = st.bracket | case1 | case2
+
+    # interval endpoint update (line_search.py:471-487)
+    sty_n = jnp.where(case1, stp, jnp.where(sign < 0, stx, sty))
+    fy_n = jnp.where(case1, fp, jnp.where(sign < 0, fx, fy))
+    gy_n = jnp.where(case1, gp, jnp.where(sign < 0, gx, gy))
+    stx_n = jnp.where(case1, stx, stp)
+    fx_n = jnp.where(case1, fx, fp)
+    gx_n = jnp.where(case1, gx, gp)
+
+    return st._replace(
+        stx=stx_n, sty=sty_n, fx=fx_n, fy=fy_n, gx=gx_n, gy=gy_n,
+        bracket=bracket,
+    ), stpf
+
+
+def _mt_search(
+    compute, st, p, node_mask, c1, c2, maxstep, max_iters,
+    xtol=1e-14, xtrapl=1.1, xtrapu=4.0, stpmin=1e-8, stpmax=50.0,
+):
+    """Batched Moré–Thuente (MINPACK dcsrch) line search, compiled.
+
+    The reference runs one stateful scalar dcsrch per config with a
+    host-side task loop (line_search.py:13-124 driver, :126-342 step,
+    :343-489 update); here every config carries its dcsrch state as a [B]
+    vector lane and ONE `lax.while_loop` advances all lanes with a single
+    batched energy+forces evaluation per iteration — identical evaluation
+    count to the reference, which also batch-evaluates func/fprime for
+    every config per outer step.
+
+    Parity notes (deliberate, cited):
+      * accepted configs return min(1, maxstep/max-atom-step) — the
+        reference OVERRIDES the converged stp with determine_step_
+        (line_search.py:104-107), i.e. the full maxstep-capped unit step;
+      * the tiny-direction rescale (line_search.py:69-73) and the
+        per-trial maxstep cap on step DELTAS (determine_step, :490-498)
+        are reproduced per config;
+      * c1=0.23, c2=0.46 are the reference's calling convention
+        (optimizers.py:654-655).
+    """
+    b = st.energy.shape[0]
+    dt = p.dtype
+
+    # tiny-direction rescale (line_search.py:69-73); n_ats = whole batch
+    n_per = jnp.sum(node_mask, axis=1).astype(dt)
+    n_tot = jnp.sum(node_mask).astype(dt)
+    p_size = jnp.sqrt(jnp.maximum(_config_dot(p, p, node_mask), 1e-30))
+    tiny = p_size <= jnp.sqrt(n_per * 1e-10)
+    p = jnp.where(tiny[:, None, None], p * _safe_div(jnp.sqrt(n_tot * 1e-10), p_size)[:, None, None], p)
+
+    phi0 = st.energy
+    derphi0 = _config_dot(-st.forces, p, node_mask)
+    p_maxlen = jnp.max(
+        jnp.where(node_mask, jnp.sqrt(jnp.sum(p * p, axis=-1)), 0.0), axis=-1
+    )  # [B]
+
+    def determine_step(stp_new, stp_old):
+        d = stp_new - stp_old
+        over = jnp.abs(d) * p_maxlen >= maxstep
+        d = jnp.where(over, jnp.sign(d) * _safe_div(maxstep, p_maxlen), d)
+        return stp_old + d
+
+    full_step = jnp.where(p_maxlen >= maxstep, _safe_div(maxstep, p_maxlen), 1.0)
+
+    # START (line_search.py:127-192): error lanes (non-descent, i.e. frozen
+    # configs with p = 0) are done immediately and take the full step
+    err = derphi0 >= 0.0
+    one = jnp.ones((b,), dt)
+    zero = jnp.zeros((b,), dt)
+    init = _MTState(
+        stp=determine_step(one, zero),
+        old_stp=zero,
+        bracket=jnp.zeros((b,), bool),
+        stage=jnp.ones((b,), jnp.int32),
+        ginit=derphi0,
+        gtest=c1 * derphi0,
+        gx=derphi0, gy=derphi0,
+        finit=phi0, fx=phi0, fy=phi0,
+        stx=zero, sty=zero,
+        stmin=zero,
+        stmax=one + xtrapu * one,
+        width=jnp.full((b,), stpmax - stpmin, dt),
+        width1=jnp.full((b,), (stpmax - stpmin) / 0.5, dt),
+        done=err,
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(ms: _MTState):
+        return (ms.it < max_iters) & ~jnp.all(ms.done)
+
+    def body(ms: _MTState):
+        e_t, f_t = compute(st.pos + ms.stp[:, None, None] * p)
+        fp = e_t
+        gp = _config_dot(-f_t, p, node_mask)
+
+        ftest = ms.finit + ms.stp * ms.gtest
+        stage = jnp.where((ms.stage == 1) & (fp < ftest) & (gp >= 0.0), 2, ms.stage)
+
+        warn = (
+            (ms.bracket & ((ms.stp <= ms.stmin) | (ms.stp >= ms.stmax)))
+            | (ms.bracket & (ms.stmax - ms.stmin <= xtol * ms.stmax))
+            | ((ms.stp == stpmax) & (fp <= ftest) & (gp <= ms.gtest))
+            | ((ms.stp == stpmin) & ((fp > ftest) | (gp >= ms.gtest)))
+        )
+        conv = (fp <= ftest) & (jnp.abs(gp) <= c2 * (-ms.ginit))
+        newly_done = (warn | conv) & ~ms.done
+
+        upd, stpf = _dcstep(ms._replace(stage=stage), fp, gp, stpmin, stpmax, xtol)
+        stp_trial = determine_step(stpf, ms.stp)
+
+        # bisection safeguard + interval bounds (line_search.py:288-320)
+        use_bisect = upd.bracket & (jnp.abs(upd.sty - upd.stx) >= 0.66 * ms.width1)
+        stp_trial = jnp.where(
+            use_bisect, upd.stx + 0.5 * (upd.sty - upd.stx), stp_trial
+        )
+        width1 = jnp.where(upd.bracket, ms.width, ms.width1)
+        width = jnp.where(upd.bracket, jnp.abs(upd.sty - upd.stx), ms.width)
+        stmin = jnp.where(
+            upd.bracket, jnp.minimum(upd.stx, upd.sty),
+            stp_trial + xtrapl * (stp_trial - upd.stx),
+        )
+        stmax_n = jnp.where(
+            upd.bracket, jnp.maximum(upd.stx, upd.sty),
+            stp_trial + xtrapu * (stp_trial - upd.stx),
+        )
+        stp_trial = jnp.clip(stp_trial, stpmin, stpmax)
+        stall = (upd.bracket & ((stp_trial < stmin) | (stp_trial >= stmax_n))) | (
+            upd.bracket & (stmax_n - stmin < xtol * stmax_n)
+        )
+        stp_trial = jnp.where(stall, upd.stx, stp_trial)
+
+        keep = ms.done | newly_done
+        return _MTState(
+            stp=jnp.where(keep, ms.stp, stp_trial),
+            old_stp=jnp.where(keep, ms.old_stp, ms.stp),
+            bracket=jnp.where(keep, ms.bracket, upd.bracket),
+            stage=jnp.where(keep, ms.stage, stage),
+            ginit=ms.ginit, gtest=ms.gtest,
+            gx=jnp.where(keep, ms.gx, upd.gx),
+            gy=jnp.where(keep, ms.gy, upd.gy),
+            finit=ms.finit,
+            fx=jnp.where(keep, ms.fx, upd.fx),
+            fy=jnp.where(keep, ms.fy, upd.fy),
+            stx=jnp.where(keep, ms.stx, upd.stx),
+            sty=jnp.where(keep, ms.sty, upd.sty),
+            stmin=jnp.where(keep, ms.stmin, stmin),
+            stmax=jnp.where(keep, ms.stmax, stmax_n),
+            width=jnp.where(keep, ms.width, width),
+            width1=jnp.where(keep, ms.width1, width1),
+            done=keep,
+            it=ms.it + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    # accepted lanes take the reference's determine_step_ value
+    # (line_search.py:104-107); lanes that ran out of iterations keep their
+    # last trial step
+    return jnp.where(final.done, full_step, final.stp)
+
+
 def init_lbfgs_state(
     energy_forces_fn: EnergyForcesFn,
     batch: MolBatch,
@@ -180,6 +449,11 @@ def _run_lbfgs(
     b = batch.z.shape[0]
     h0 = 1.0 / alpha
     m = memory
+    # "mt" is adaptive: the while_loop stops when every lane terminates, so
+    # the cap only bounds pathological searches (reference max_abs_step=100,
+    # line_search.py:35); ls_trials keeps its fixed-eval meaning for
+    # armijo/wolfe
+    mt_iters = jnp.asarray(100, jnp.int32)
 
     def compute(pos):
         e, f = energy_forces_fn(batch.replace(pos=pos))
@@ -238,6 +512,24 @@ def _run_lbfgs(
         # freeze converged configs and padding (reference :507)
         p = jnp.where((st.converged | ~mol_mask)[:, None, None], 0.0, p)
         p = p * free[..., None]
+
+        if line_search == "mt":
+            # reference use_line_search flow (optimizers.py:510-515): the
+            # search consumes the RAW direction p; maxstep capping happens
+            # inside via determine_step, and damping does not apply
+            step = _mt_search(
+                compute, st, p, node_mask, ls_c1, ls_c2, maxstep, mt_iters,
+            )
+            new_pos = st.pos + step[:, None, None] * p
+            e, f = compute(new_pos)
+            newly_conv = _max_force_sq(f, node_mask) < fmax**2
+            converged = st.converged | newly_conv
+            nconv = jnp.where(newly_conv & ~st.converged, it + 1, st.nsteps_to_converge)
+            return LBFGSState(
+                pos=new_pos, energy=e, forces=f, r0=st.pos, f0=st.forces,
+                s_hist=s_hist, y_hist=y_hist, rho=rho, iteration=it + 1,
+                converged=converged, nsteps_to_converge=nconv,
+            )
 
         # per-config maxstep normalization (reference determine_step :556)
         steplen = jnp.sqrt(jnp.sum(p * p, axis=-1))  # [B,A]
@@ -305,7 +597,7 @@ def lbfgs_relax(
     damping: float = 1.0,
     alpha: float = 1.0,
     fixed_atoms_mask: Optional[jnp.ndarray] = None,
-    line_search: str = "off",  # off | armijo | wolfe
+    line_search: str = "off",  # off | armijo | wolfe | mt
     ls_trials: int = 4,
     ls_c1: float = 1e-4,
     ls_c2: float = 0.9,
