@@ -52,7 +52,7 @@ def bad_start_batch(rng, B=6, A=6):
     )
 
 
-@pytest.mark.parametrize("ls", ["off", "armijo", "wolfe"])
+@pytest.mark.parametrize("ls", ["off", "armijo", "wolfe", "mt"])
 def test_no_nonfinite_state_from_bad_starts(rng, ls):
     batch = bad_start_batch(rng)
     fn = lj_ef()
@@ -74,7 +74,7 @@ def test_line_search_not_worse_than_damped_step(rng):
     fn = lj_ef()
     n_conv = {}
     e_final = {}
-    for ls in ("off", "armijo", "wolfe"):
+    for ls in ("off", "armijo", "wolfe", "mt"):
         res = jax.jit(lambda b: lbfgs_relax(
             fn, b, fmax=0.05, max_steps=400, memory=25, maxstep=0.2,
             line_search=ls, ls_trials=5,
@@ -83,3 +83,4 @@ def test_line_search_not_worse_than_damped_step(rng):
         e_final[ls] = float(np.asarray(res.energy).sum())
     assert n_conv["wolfe"] >= n_conv["off"]
     assert n_conv["armijo"] >= n_conv["off"]
+    assert n_conv["mt"] >= n_conv["off"]
