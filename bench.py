@@ -330,6 +330,7 @@ def run_all() -> None:
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp;"
+             "assert jax.devices()[0].platform == 'tpu', jax.devices();"
              "x = jnp.ones((512, 512), jnp.bfloat16);"
              "(x @ x).sum().block_until_ready()"],
             capture_output=True, text=True, timeout=240,

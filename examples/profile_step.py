@@ -105,13 +105,29 @@ def profile_equiformer_v2():
     out["layers_6"] = _time_step("equiformer_v2", spec, batch,
                                  {"num_layers": 6})
 
+    # knockouts must spare the model heads: energy_ffn IS a GridFFN and
+    # force_block IS a SO2GraphAttention (equiformer_v2.py:489,495-506) —
+    # zeroing those would misattribute head cost to the blocks and change
+    # the force-loss backward being timed
+    _HEADS = ("energy_ffn", "force_block")
+    ffn_orig = m.GridFFN.__call__
+
     def ffn_zero(self, x):
+        if self.name in _HEADS:
+            return ffn_orig(self, x)
         return x * 0.0
 
     with _patched(m.GridFFN, "__call__", ffn_zero):
         out["no_ffn"] = _time_step("equiformer_v2", spec, batch)
 
+    attn_orig = {
+        m.PallasSO2GraphAttention: m.PallasSO2GraphAttention.__call__,
+        m.SO2GraphAttention: m.SO2GraphAttention.__call__,
+    }
+
     def attn_zero(self, x, *a, **k):
+        if self.name in _HEADS:
+            return attn_orig[type(self)](self, x, *a, **k)
         return x * 0.0
 
     with _patched(m.PallasSO2GraphAttention, "__call__", attn_zero), \

@@ -160,8 +160,12 @@ def _dcstep(st: _MTState, fp, gp, stpmin, stpmax_p, xtol):
     """Vectorized MINPACK dcstep + dcsrch interval logic
     (reference line_search.py:343-489 update / :126-342 step tail).
 
-    fp/gp: φ, φ' at st.stp. Returns the updated state with the NEXT trial
-    in `stp` (not yet maxstep-capped — the caller applies determine_step).
+    fp/gp: φ, φ' at st.stp. stpmin/stpmax_p are the EVOLVING per-lane
+    interval bounds (the reference's step() passes its current
+    stmin/stmax into update(), not the global step limits) — they bound
+    the case-3/4 non-bracket extrapolation to the xtrapl/xtrapu window.
+    Returns the updated state with the NEXT trial in `stp` (not yet
+    maxstep-capped — the caller applies determine_step).
     """
     stx, sty, stp = st.stx, st.sty, st.stp
     fx, fy, gx, gy = st.fx, st.fy, st.gx, st.gy
@@ -278,13 +282,6 @@ def _mt_search(
     b = st.energy.shape[0]
     dt = p.dtype
 
-    # tiny-direction rescale (line_search.py:69-73); n_ats = whole batch
-    n_per = jnp.sum(node_mask, axis=1).astype(dt)
-    n_tot = jnp.sum(node_mask).astype(dt)
-    p_size = jnp.sqrt(jnp.maximum(_config_dot(p, p, node_mask), 1e-30))
-    tiny = p_size <= jnp.sqrt(n_per * 1e-10)
-    p = jnp.where(tiny[:, None, None], p * _safe_div(jnp.sqrt(n_tot * 1e-10), p_size)[:, None, None], p)
-
     phi0 = st.energy
     derphi0 = _config_dot(-st.forces, p, node_mask)
     p_maxlen = jnp.max(
@@ -342,7 +339,7 @@ def _mt_search(
         conv = (fp <= ftest) & (jnp.abs(gp) <= c2 * (-ms.ginit))
         newly_done = (warn | conv) & ~ms.done
 
-        upd, stpf = _dcstep(ms._replace(stage=stage), fp, gp, stpmin, stpmax, xtol)
+        upd, stpf = _dcstep(ms._replace(stage=stage), fp, gp, ms.stmin, ms.stmax, xtol)
         stp_trial = determine_step(stpf, ms.stp)
 
         # bisection safeguard + interval bounds (line_search.py:288-320)
@@ -361,8 +358,15 @@ def _mt_search(
             stp_trial + xtrapu * (stp_trial - upd.stx),
         )
         stp_trial = jnp.clip(stp_trial, stpmin, stpmax)
-        stall = (upd.bracket & ((stp_trial < stmin) | (stp_trial >= stmax_n))) | (
-            upd.bracket & (stmax_n - stmin < xtol * stmax_n)
+        # NOTE reference parity: line_search.py:314 reads
+        # `if (self.bracket and stp < stmin or stp >= stmax) ...` — Python
+        # precedence applies the stp >= stmax reset even UNBRACKETED
+        # (original MINPACK gates both on the bracket); we reproduce the
+        # reference's behavior
+        stall = (
+            (upd.bracket & (stp_trial < stmin))
+            | (stp_trial >= stmax_n)
+            | (upd.bracket & (stmax_n - stmin < xtol * stmax_n))
         )
         stp_trial = jnp.where(stall, upd.stx, stp_trial)
 
@@ -391,8 +395,9 @@ def _mt_search(
     final = jax.lax.while_loop(cond, body, init)
     # accepted lanes take the reference's determine_step_ value
     # (line_search.py:104-107); lanes that ran out of iterations keep their
-    # last trial step
-    return jnp.where(final.done, full_step, final.stp)
+    # last trial step. final.it (number of batched evaluations) is exposed
+    # for the parity tests.
+    return jnp.where(final.done, full_step, final.stp), final.it
 
 
 def init_lbfgs_state(
@@ -515,44 +520,51 @@ def _run_lbfgs(
 
         if line_search == "mt":
             # reference use_line_search flow (optimizers.py:510-515): the
-            # search consumes the RAW direction p; maxstep capping happens
-            # inside via determine_step, and damping does not apply
-            step = _mt_search(
-                compute, st, p, node_mask, ls_c1, ls_c2, maxstep, mt_iters,
+            # search consumes the RAW direction p (maxstep capping happens
+            # inside via determine_step; damping does not apply). The
+            # reference's tiny-direction rescale mutates pk IN PLACE
+            # (line_search.py:69-73), so its caller's position update uses
+            # the rescaled direction — rescale here, before the search.
+            n_per = jnp.sum(node_mask, axis=1).astype(p.dtype)
+            n_tot = jnp.sum(node_mask).astype(p.dtype)
+            p_size = jnp.sqrt(jnp.maximum(_config_dot(p, p, node_mask), 1e-30))
+            tiny = p_size <= jnp.sqrt(n_per * 1e-10)
+            p_mt = jnp.where(
+                tiny[:, None, None],
+                p * _safe_div(jnp.sqrt(n_tot * 1e-10), p_size)[:, None, None],
+                p,
             )
-            new_pos = st.pos + step[:, None, None] * p
-            e, f = compute(new_pos)
-            newly_conv = _max_force_sq(f, node_mask) < fmax**2
-            converged = st.converged | newly_conv
-            nconv = jnp.where(newly_conv & ~st.converged, it + 1, st.nsteps_to_converge)
-            return LBFGSState(
-                pos=new_pos, energy=e, forces=f, r0=st.pos, f0=st.forces,
-                s_hist=s_hist, y_hist=y_hist, rho=rho, iteration=it + 1,
-                converged=converged, nsteps_to_converge=nconv,
+            step, _ = _mt_search(
+                compute, st, p_mt, node_mask, ls_c1, ls_c2, maxstep, mt_iters,
             )
+            dr = step[:, None, None] * p_mt
+        else:
+            # per-config maxstep normalization (reference determine_step :556)
+            steplen = jnp.sqrt(jnp.sum(p * p, axis=-1))  # [B,A]
+            longest = jnp.max(jnp.where(node_mask, steplen, 0.0), axis=-1)  # [B]
+            scale = jnp.where(
+                longest >= maxstep, maxstep / jnp.maximum(longest, 1e-12), 1.0
+            )
+            dr = p * scale[:, None, None] * damping
 
-        # per-config maxstep normalization (reference determine_step :556)
-        steplen = jnp.sqrt(jnp.sum(p * p, axis=-1))  # [B,A]
-        longest = jnp.max(jnp.where(node_mask, steplen, 0.0), axis=-1)  # [B]
-        scale = jnp.where(longest >= maxstep, maxstep / jnp.maximum(longest, 1e-12), 1.0)
-        dr = p * scale[:, None, None] * damping
-
-        if line_search == "armijo":
-            # per-molecule backtracking: E(x+αp) ≤ E(x) + c1 α ∇E·p
-            g_dot_p = _config_dot(-st.forces, dr, node_mask)  # [B]
-            trial = jnp.ones((b,), dr.dtype)
-            best = jnp.full((b,), 0.5 ** (ls_trials - 1), dr.dtype)
-            accepted = jnp.zeros((b,), bool)
-            for _ in range(ls_trials):
-                e_t, _ = compute(st.pos + trial[:, None, None] * dr)
-                ok = e_t <= st.energy + ls_c1 * trial * g_dot_p
-                best = jnp.where(ok & ~accepted, trial, best)
-                accepted = accepted | ok
-                trial = trial * 0.5
-            dr = dr * best[:, None, None]
-        elif line_search == "wolfe":
-            step = _wolfe_search(compute, st, dr, node_mask, ls_trials, ls_c1, ls_c2)
-            dr = dr * step[:, None, None]
+            if line_search == "armijo":
+                # per-molecule backtracking: E(x+αp) ≤ E(x) + c1 α ∇E·p
+                g_dot_p = _config_dot(-st.forces, dr, node_mask)  # [B]
+                trial = jnp.ones((b,), dr.dtype)
+                best = jnp.full((b,), 0.5 ** (ls_trials - 1), dr.dtype)
+                accepted = jnp.zeros((b,), bool)
+                for _ in range(ls_trials):
+                    e_t, _ = compute(st.pos + trial[:, None, None] * dr)
+                    ok = e_t <= st.energy + ls_c1 * trial * g_dot_p
+                    best = jnp.where(ok & ~accepted, trial, best)
+                    accepted = accepted | ok
+                    trial = trial * 0.5
+                dr = dr * best[:, None, None]
+            elif line_search == "wolfe":
+                step = _wolfe_search(
+                    compute, st, dr, node_mask, ls_trials, ls_c1, ls_c2
+                )
+                dr = dr * step[:, None, None]
 
         new_pos = st.pos + dr
         e, f = compute(new_pos)

@@ -17,7 +17,7 @@ import pytest
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.optimize.lbfgs import LBFGSState, _mt_search, lbfgs_relax
 
-pytestmark = pytest.mark.optimize
+pytestmark = pytest.mark.optimization
 
 C1, C2 = 0.23, 0.46  # reference optimizers.py:654-655
 MAXSTEP = 0.2
@@ -174,7 +174,9 @@ def golden_mt(phi, dphi, p_atoms, maxstep=MAXSTEP, c1=C1, c2=C2,
             stmin = new_stp + XTRAPL * (new_stp - stx)
             stmax = new_stp + XTRAPU * (new_stp - stx)
         new_stp = max(min(new_stp, STPMAX), STPMIN)
-        if (bracket and (new_stp < stmin or new_stp >= stmax)) or (
+        # reference precedence (line_search.py:314): the stp >= stmax reset
+        # applies even unbracketed
+        if ((bracket and new_stp < stmin) or new_stp >= stmax) or (
             bracket and stmax - stmin < XTOL * stmax
         ):
             new_stp = stx
@@ -226,10 +228,9 @@ def test_mt_search_matches_reference_dcsrch(rng):
         e, f = ef(pos)
         return e, f
 
-    steps = np.asarray(
-        _mt_search(compute, st, p.astype(np.float64), node_mask,
-                   C1, C2, MAXSTEP, 100)
-    )
+    steps, _ = _mt_search(compute, st, p.astype(np.float64), node_mask,
+                          C1, C2, MAXSTEP, 100)
+    steps = np.asarray(steps)
 
     for i in range(b):
         def phi(alpha, i=i):
@@ -248,22 +249,53 @@ def test_mt_search_matches_reference_dcsrch(rng):
         )
 
 
+def test_mt_far_minimizer_small_direction(rng):
+    """The dcstep extrapolation must be bounded by the EVOLVING
+    stmin/stmax window (xtrapl/xtrapu), not the global step limits: a lane
+    with a small-norm direction (the maxstep delta cap never binds) and a
+    far minimizer must walk out via the same trial sequence as the
+    reference (1 → ~5 → ~21 → ...), not jump straight to the minimizer."""
+    b, a = 1, 4
+    x_star = np.zeros((b, a, 3))
+    k = np.full((b, 1, 1), 1.0)
+
+    def ef(pos):
+        d = pos - x_star
+        e = (k[..., 0] * (d * d).sum(-1)).sum(-1)
+        f = -2 * k * d
+        return e, f
+
+    pos0 = rng.normal(size=(b, a, 3))
+    e0, f0 = ef(pos0)
+    p = f0 * 0.025  # small norm: minimizer along p at alpha = 40
+    node_mask = np.ones((b, a), bool)
+    st = LBFGSState(
+        pos=pos0, energy=e0, forces=f0, r0=pos0, f0=f0,
+        s_hist=np.zeros((1, b, a, 3)), y_hist=np.zeros((1, b, a, 3)),
+        rho=np.zeros((1, b)), iteration=np.zeros((), np.int32),
+        converged=np.zeros((b,), bool), nsteps_to_converge=np.zeros((b,), np.int32),
+    )
+    steps, iters = _mt_search(lambda pos: ef(pos), st, p, node_mask,
+                              C1, C2, MAXSTEP, 100)
+
+    def phi(alpha):
+        e, _ = ef(pos0 + alpha * p)
+        return float(e[0])
+
+    def dphi(alpha):
+        _, f = ef(pos0 + alpha * p)
+        return float(-(f[0] * p[0]).sum())
+
+    want, n_evals = golden_mt(phi, dphi, p[0])
+    assert n_evals > 1, "problem too easy to discriminate trial sequences"
+    assert int(iters) == n_evals, (int(iters), n_evals)
+    np.testing.assert_allclose(np.asarray(steps)[0], want, rtol=1e-6)
+
+
 def test_mt_relaxation_converges(rng):
-    """End-to-end: lbfgs_relax(line_search='mt') relaxes the synthetic batch
-    to fmax on every lane (incl. a padded one)."""
+    """End-to-end: lbfgs_relax(line_search='mt') relaxes a synthetic batch
+    of harmonic wells to fmax on every lane (incl. a padded one)."""
     b, a = 4, 4
-    pos0, ef = _make_problem(rng, b, a)
-
-    def ef_batch(batch: MolBatch):
-        e, f = ef(np.asarray(batch.pos, np.float64))
-        import jax.numpy as jnp
-
-        return jnp.asarray(e), jnp.asarray(f)
-
-    # pure-callable energies: wrap via jax.pure_callback-free path — the
-    # potential is jax-traceable if written in jnp; rewrite inline:
-    x_star = None
-
     rng2 = np.random.default_rng(7)
     x_star = rng2.normal(size=(b, a, 3)).astype(np.float32)
     k = rng2.uniform(0.5, 8.0, size=(b, 1, 1)).astype(np.float32)
