@@ -165,10 +165,47 @@ def profile_gemnet_oc():
     return out
 
 
+def profile_dimenetpp():
+    from nabladft_tpu.models import dimenetpp as m
+
+    spec, batch = _bench_pieces("dimenetpp")
+    out = {}
+    out["full_6"] = _time_step("dimenetpp", spec, batch)
+    out["blocks_3"] = _time_step("dimenetpp", spec, batch, {"num_blocks": 3})
+
+    # knockout the triplet aggregation (addition-theorem einsums): replace
+    # agg with a plain linear image of x_kj so shapes/params are unchanged
+    inter_orig = m.InteractionPPBlock.__call__
+
+    def no_triplet(self, mm, rbf, feats, adj):
+        import jax.numpy as jnp
+
+        zero = {k: v * 0.0 for k, v in feats.items()}
+        return inter_orig(self, mm, rbf, zero, adj)
+
+    with _patched(m.InteractionPPBlock, "__call__", no_triplet):
+        out["zero_basis_feats"] = _time_step("dimenetpp", spec, batch)
+
+    res_orig = m.ResidualLayer.__call__
+
+    def res_id(self, x):
+        return res_orig(self, x) * 0.0 + x
+
+    with _patched(m.ResidualLayer, "__call__", res_id):
+        out["residuals_passthrough"] = _time_step("dimenetpp", spec, batch)
+
+    import bench
+
+    batch64 = bench.make_batch(np.random.default_rng(0), batch_size=64)
+    out["batch_64"] = _time_step("dimenetpp", {**spec, "batch": 64}, batch64)
+    return out
+
+
 PROFILES = {
     "equiformer_v2": profile_equiformer_v2,
     "escn": profile_escn,
     "gemnet_oc": profile_gemnet_oc,
+    "dimenetpp": profile_dimenetpp,
 }
 
 

@@ -607,10 +607,20 @@ _N_W = 9  # w_rad, b_rad, w1, w2, ln_scale, ln_bias, alpha_dot + per-m lists
 
 
 def _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m, ln_scale, ln_bias,
-                 alpha_dot, m_avg, m_exp, m_expv):
-    mats = [w_rad, b_rad, w1, w2, ln_scale, ln_bias, alpha_dot,
+                 alpha_dot, m_avg, m_exp, m_expv, mxu_bf16=False):
+    """When mxu_bf16, the large matmul-only weights enter the kernel
+    already cast to bf16 — _mdot casts them anyway, and halving their
+    VMEM windows is what lets the backward fit r=2 (f32 weights put the
+    bwd kernel at 143 MB > the 128 MB VMEM budget on real TPU). b_rad
+    and the LN/alpha/expander vectors stay f32 (used in f32 arithmetic)."""
+    big = jnp.bfloat16 if mxu_bf16 else None
+
+    def _c(w):
+        return w.astype(big) if big is not None else w
+
+    mats = [_c(w_rad), b_rad, _c(w1), _c(w2), ln_scale, ln_bias, alpha_dot,
             m_avg, m_exp, m_expv]
-    mats += list(fc1m) + list(fc2m)
+    mats += [_c(w) for w in fc1m] + [_c(w) for w in fc2m]
     return mats
 
 
@@ -672,7 +682,11 @@ _R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else None
 def _r_caps(mxu_bf16: bool) -> tuple:
     if _R_CAPS is not None:
         return _R_CAPS
-    return (4, 4) if mxu_bf16 else (2, 2)
+    # bwd r=4 only fits VMEM because _weight_list ships the big matmul
+    # weights bf16 (f32 weights put the bwd at 160.9M > 128M on real TPU;
+    # the weight-grad accumulators stay f32). Measured on TPU v5: (4,4)
+    # 805 ms/step vs (4,2) 920 ms at the bench config (B=32, A=48, K=30).
+    return (4, 4) if mxu_bf16 else (2, 1)
 
 
 def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
@@ -835,7 +849,8 @@ def eqv2_attention_vjp(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va,
     co = w2.shape[-1] // (l_max + 1)
     m_avg, m_exp, m_expv = _expanders(nh, va, co)
     mats = _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m,
-                        ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv)
+                        ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv,
+                        mxu_bf16)
     return _run_fwd(x_sm, oh, x_asc, d, xe, maskf, dropk, mats,
                     l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16)
 
@@ -859,7 +874,8 @@ def _attn_bwd(l_max, m_max, n_grid, interpret, mxu_bf16, nh, va, res, g):
     co = w2.shape[-1] // (l_max + 1)
     m_avg, m_exp, m_expv = _expanders(nh, va, co)
     mats = _weight_list(w_rad, b_rad, w1, fc1m, w2, fc2m,
-                        ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv)
+                        ln_scale, ln_bias, alpha_dot, m_avg, m_exp, m_expv,
+                        mxu_bf16)
     outs = _run_bwd(x_sm, oh, x_asc, d, xe, maskf, dropk, mats, g.astype(F32),
                     l_max, m_max, c, co, nh, va, n_grid, interpret, mxu_bf16)
     gx, gxi, gxe = outs[0], outs[1], outs[2]
