@@ -296,6 +296,19 @@ def main():
                 "wall_s": round(time.time() - t0, 1),
                 "aux": trainer._ckpt_aux(),
             }))
+        if args.out:
+            # partial result every chunk: an interrupted run still leaves
+            # committed evidence of the curve reached so far
+            Path(args.out).write_text(json.dumps({
+                "model": args.model, "partial": True,
+                "n_mols": args.n_mols,
+                "o_max": int(batches[0].hamiltonian.shape[-1]),
+                "h_mae_eh": best, "target_h_mae_eh": args.target,
+                "reached_target": best <= args.target, "curve": curve,
+                "wall_seconds": round(time.time() - t0, 1),
+                "reference_published": {"qhnet_test_tiny": 9.8e-4,
+                                        "phisnet_test_tiny": 1.9e-4},
+            }, indent=1))
         if h_mae <= args.target:
             break
 

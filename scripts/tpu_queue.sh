@@ -31,20 +31,23 @@ run() {  # run <name> <timeout_s> <cmd...>
   [ $rc -eq 0 ] && touch "$LOG/$name.done"
 }
 
-# 1. Quick benches of the two perf laggards (tells us if the new kernels land >=1x)
+# 1. Quick benches of the two perf laggards (tells us if the new kernels
+#    — DimeNet++ triplet fusion, EqV2 K-compaction — land >=1x)
 run bench_dimenetpp 2400 python bench.py --model dimenetpp
 run bench_eqv2     3600 python bench.py --model equiformer_v2
+run bench_gemnet   2400 python bench.py --model gemnet_oc
 
-# 2. Resume QHNet precision (at 1.10e-4, target 1e-4 — ~1-2k epochs to go)
-run qhnet_precision 14000 python examples/hamiltonian_precision.py --model qhnet \
-    --state outputs/hp_qhnet_state.msgpack --out results/acc_qhnet.json \
-    --target 1e-4 --max-steps 60000
-
-# 3. DimeNet++ accuracy RERUN: the acc_dimenetpp.json on disk (E-MAE 41.7 Eh,
+# 2. DimeNet++ accuracy RERUN: the acc_dimenetpp.json on disk (E-MAE 41.7 Eh,
 #    diverged) predates the init-divergence fix (bb4569d) and the
 #    energy-offset fix (6882065)
 run acc_dimenetpp 8000 python examples/train_accuracy.py --model dimenetpp \
     --max-epochs 1500 --out results/acc_dimenetpp.json
+
+# 3. First PhiSNet precision run (checkpointed + partial --out every chunk;
+#    even an interrupted run leaves a committed curve)
+run phisnet_precision 21000 python examples/hamiltonian_precision.py --model phisnet \
+    --state outputs/hp_phisnet_state.msgpack --out results/acc_phisnet.json \
+    --target 1e-4 --max-steps 40000
 
 # 4. EquiformerV2 accuracy datapoint (the missing zoo row)
 run acc_eqv2 14000 python examples/train_accuracy.py --model equiformer_v2 \
@@ -55,11 +58,12 @@ run acc_eqv2 14000 python examples/train_accuracy.py --model equiformer_v2 \
 run acc_escn 14000 python examples/train_accuracy.py --model escn \
     --max-epochs 400 --out results/acc_escn.json
 
-# 6. First PhiSNet precision run — LAST because it is long and checkpointed
-#    (--state snapshots survive interruption; a partial curve is evidence)
-run phisnet_precision 21000 python examples/hamiltonian_precision.py --model phisnet \
-    --state outputs/hp_phisnet_state.msgpack --out results/acc_phisnet.json \
-    --target 1e-4 --max-steps 40000
+# 6. QHNet precision restart (r2 state was lost at the round boundary; the
+#    committed curve bottomed at 1.10e-4 vs the <=1e-4 bar — restart fresh
+#    with chunk snapshots + partial --out so this one closes)
+run qhnet_precision 21000 python examples/hamiltonian_precision.py --model qhnet \
+    --state outputs/hp_qhnet_state.msgpack --out results/acc_qhnet_r3.json \
+    --target 1e-4 --max-steps 60000
 
 # 7. Step-time ablation profiles for the remaining laggards (quick; informs
 #    the next kernel pass if benches above still land <1x)
