@@ -78,14 +78,14 @@ ZOO_BENCH = {
         ),
     ),
     "dimenetpp": dict(
-        # dense all-triplets formulation: the k->j->i contraction is one
-        # broadcast-batched matmul (no gathers), so derivative forces stay
-        # matmuls at every AD order; trained through the generic
-        # forward-over-reverse surrogate (one reverse pass for F + one
-        # grad-of-jvp for the mixed term) instead of reverse-over-reverse
-        # (surrogate force grads measured identical step time at B=32 —
-        # the dense formulation is not second-order-bound; direct keeps
-        # the compile fast)
+        # K-compacted edge layout (models/dimenetpp.py, compact=True
+        # default): every per-edge Dense and the k-contraction of the
+        # triplet step run over K=32 neighbor slots instead of the dense
+        # A=48 pair axis (1.5x FLOP cut; parity-tested against the dense
+        # layout). The k->j->i contraction stays a matmul, so derivative
+        # forces remain matmuls at every AD order; direct
+        # reverse-over-reverse keeps the compile fast (surrogate force
+        # grads measured identical step time at B=32).
         batch=32,
         anchor=250.0,  # triplet message passing
         kwargs=dict(compute_dtype="bfloat16", remat=False),

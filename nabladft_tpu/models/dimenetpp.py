@@ -8,18 +8,34 @@ functions match torch_geometric VERBATIM (trainable Bessel frequencies,
 1/x-enveloped radial and spherical bases), so pretrained checkpoints
 convert as plain weight copies (models/pretrained.py, golden-tested).
 
-TPU design: DENSE all-pairs/all-triplets formulation. At nablaDFT sizes
-(A <= 62) the dense [B, A(i), A(j)] pair lattice and [B, A, A, A] triplet
-lattice are comparable in size to the K=32 neighbor-list layout but
-contain NO gathers: edge messages live at [b, i, j], triplet aggregation
-is one broadcast-batched matmul (einsum over the k axis), and the strict
-max-neighbor cap is a dense top-k mask. Every operation — including the
-k→j→i triplet contraction that was gather/scatter-bound in r2 — is a
-matmul or elementwise op, so reverse-over-reverse derivative forces
-(forces = -∂E/∂pos, then ∂loss/∂θ through them) stay matmuls at every AD
-order. A per-receiver Pallas kernel formulation was measured 20x SLOWER
-than this dense XLA path at B=8 (sequential (B·A)-program grid of 8×32×64
-matmuls is latency-bound) and was dropped.
+TPU design: K-COMPACTED neighbor formulation (default), with the dense
+all-pairs/all-triplets formulation kept as `compact=False`. The FLOPs of
+a DimeNet++ step are dominated by the H=256 per-edge Dense stack
+(lin_ji/lin_kj/skip/residuals), so the edge axis matters most:
+
+  * compact (default): edges live at [b, i(receiver), n(neighbor slot)],
+    n < K = max_neighbors (32 vs A = 48-62 dense) — a 1.5-2x FLOP cut on
+    every per-edge matmul AND on the k-contraction of the triplet step.
+    The only gathers are (a) one-time per-forward compactions of the
+    basis tensors, (b) one [B,A,A,E]→[B,A,K,E] take_along per block after
+    the (cheap, 0.5 GFLOP) triplet-closing einsum — the einsum itself
+    stays dense over j so the [B,A,K,Q,E] gather never materializes —
+    and (c) one flat reverse-edge gather per block for the k == i
+    back-triplet exclusion.
+  * dense (`compact=False`): edge messages live at [b, i, j] with a
+    dense top-k mask; zero gathers. Kept because it is the layout of
+    record for converter goldens and as the parity oracle for the
+    compact path (tests/models/test_dimenetpp_compact.py).
+
+Both layouts share one parameter tree (per-edge Denses are shape-blind to
+the edge axis), so checkpoints are layout-portable. Triplet aggregation in
+both is the Legendre-addition-theorem factorization: the [B,A,K,K,·] (or
+[B,A,A,A,·]) triplet lattice never exists — everything is pair-shaped
+matmuls, so reverse-over-reverse derivative forces (forces = -∂E/∂pos,
+then ∂loss/∂θ through them) stay matmuls at every AD order. A
+per-receiver Pallas kernel formulation was measured 20x SLOWER than the
+dense XLA path at B=8 (sequential (B·A)-program grid of 8×32×64 matmuls
+is latency-bound) and was dropped.
 """
 
 from __future__ import annotations
@@ -66,9 +82,11 @@ class InteractionPPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, m, rbf, feats, adj):
-        """m: [B,A,A,H] message of edge (j->i) at [b,i,j]; rbf: [B,A,A,R];
-        feats: precomputed pair features of the Legendre-addition-theorem
-        factorization (see DimeNetPP.__call__)."""
+        """m: [B,A,E_ax,H] message of edge (j->i) at [b,i,·] where the edge
+        axis E_ax is j (dense layout, E_ax=A) or the neighbor slot n
+        (compact layout, E_ax=K, j = feats["idx"][b,i,n]); rbf matches m's
+        layout. feats: precomputed pair features of the
+        Legendre-addition-theorem factorization (see DimeNetPP.__call__)."""
         dt = self.dtype
         L1, R = self.num_spherical, self.num_radial
         # explicit names mirror torch_geometric InteractionPPBlock fields
@@ -96,8 +114,10 @@ class InteractionPPBlock(nn.Module):
             (self.basis_emb_size, self.int_emb_size),
         )
         w12 = (w1 @ w2).astype(dt)  # [(L+1)·R, E]
-        Yc, Yt, G, Rt = feats["Yc"], feats["Yt"], feats["G"], feats["Rt"]
+        G, Rt, S = feats["G"], feats["Rt"], feats["S"]
         # Q[b,j,(l,m,n),e] = Σ_k G[b,j,k,(lmn)]·x_kj[b,j,k,e]
+        # (identical einsum in both layouts: the contracted axis is dense j
+        # or the K neighbor slots of j)
         qm = jnp.einsum("bjkq,bjke->bjqe", G, x_kj)
         q_parts = []
         for l in range(L1):
@@ -107,20 +127,34 @@ class InteractionPPBlock(nn.Module):
             w12_l = w12[l * R : (l + 1) * R]  # [R, E]
             q_parts.append(jnp.einsum("bjmne,ne->bjme", sl, w12_l))
         q = jnp.concatenate(q_parts, axis=2)  # [B,A,(L+1)²,E]
-        agg = jnp.einsum("bijq,bjqe->bije", Yc, q)
+        if "idx" in feats:
+            # compact layout: close the triplet over the DENSE j axis (the
+            # einsum is only ~0.5 GFLOP) and gather the K needed rows —
+            # this keeps the [B,A,K,(L)²,E] gather from ever materializing.
+            agg_d = jnp.einsum("bijq,bjqe->bije", feats["Yc_dense"], q)
+            agg = jnp.take_along_axis(agg_d, feats["idx"][..., None], axis=2)
+            # back-triplet x_kj[b, j, rev(i)] via one flat reverse-edge
+            # gather; rev_valid zeroes slots whose reverse edge fell out of
+            # j's strict top-k (the dense layout's x_kj[b,j,i] is likewise
+            # 0 there because its rbf gate is masked).
+            bsz, a_ax, k_ax, e_ax = x_kj.shape
+            xf = x_kj.reshape(bsz, a_ax * k_ax, e_ax)
+            xkj_t = jnp.take_along_axis(
+                xf, feats["rev_flat"].reshape(bsz, a_ax * k_ax)[..., None], axis=1
+            ).reshape(bsz, a_ax, k_ax, e_ax)
+            xkj_t = xkj_t * feats["rev_valid"][..., None].astype(dt)
+        else:
+            agg = jnp.einsum("bijq,bjqe->bije", feats["Yc"], q)
+            xkj_t = jnp.swapaxes(x_kj, 1, 2)
         # remove the k == i term (DimeNet excludes the back-triplet):
         # corr = Σ_l (Σ_m Yc_lm[b,i,j]·Y_lm[b,j,i]) · (Σ_n W12·R̃[b,j,i]) · x_kj[b,j,i]
-        xkj_t = jnp.swapaxes(x_kj, 1, 2)
+        # S[b,i,·,l] = Σ_m Yc_lm·Y_lm(reverse edge) is block-independent and
+        # precomputed once in DimeNetPP.__call__.
         corr = 0.0
         for l in range(L1):
-            s_l = jnp.einsum(
-                "bijm,bijm->bij",
-                Yc[..., l * l : (l + 1) * (l + 1)],
-                Yt[..., l * l : (l + 1) * (l + 1)],
-            )
             c_l = jnp.einsum("bijn,ne->bije", Rt[..., l * R : (l + 1) * R],
                              w12[l * R : (l + 1) * R])
-            corr = corr + s_l[..., None] * c_l
+            corr = corr + S[..., l, None] * c_l
         agg = agg - corr * xkj_t
         # normalized aggregation: the raw triplet sum over ~K neighbors
         # amplifies message magnitude ~7x per block at init (measured;
@@ -200,6 +234,9 @@ class DimeNetPP(nn.Module):
     energy_std: float = 1.0
     remat: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    # K-compacted edge layout (see module docstring). Same parameter tree
+    # as the dense layout; flip freely across checkpoints.
+    compact: bool = True
     # static normalizer for the atom-sum readout (absorbable into the head
     # MLP's first kernel, so converters stay exact)
     atom_norm: float = 32.0
@@ -209,13 +246,14 @@ class DimeNetPP(nn.Module):
     @nn.compact
     def __call__(self, batch: MolBatch) -> ModelOutput:
         cdt = jnp.dtype(self.compute_dtype)
-        dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
-        adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
-        dist = jnp.where(adj, dg.dist, 0.0)
-        # unit[b,i,j] = direction i→j; v(j→i) = -unit[b,i,j]
-        unit = jnp.where(
-            adj[..., None], dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0
-        )
+        L1, R = self.num_spherical, self.num_radial
+        c_lm = np.concatenate([
+            np.full(2 * l + 1, (-1.0) ** l * np.sqrt(4 * np.pi / (2 * l + 1)))
+            for l in range(L1)
+        ]).astype(np.float32)
+        parity = np.concatenate([
+            np.full(2 * l + 1, (-1.0) ** l) for l in range(L1)
+        ]).astype(np.float32)
 
         # trainable Bessel frequencies (torch_geometric BesselBasisLayer
         # stores `rbf.freq` as a parameter; init n·π)
@@ -223,48 +261,104 @@ class DimeNetPP(nn.Module):
             "rbf_freq",
             lambda _: jnp.arange(1, self.num_radial + 1, dtype=jnp.float32) * jnp.pi,
         )
+
+        if self.compact:
+            a_ax = batch.pos.shape[1]
+            k_ax = min(self.max_neighbors, a_ax)
+            nl = graph.neighbor_list(
+                batch.pos, batch.node_mask, self.cutoff, k_ax
+            )
+            idx, adj = nl.idx, nl.mask  # adj := [B,A,K] slot-valid mask
+            dist, unit = nl.dist, nl.unit
+            # reverse-edge map for the back-triplet exclusion:
+            # rev_pos[b,i,n] = position of i in idx[b, j=idx[b,i,n], :]
+            idx_g = jax.vmap(lambda s, j: s[j])(idx, idx)     # [B,A,K,K]
+            mask_g = jax.vmap(lambda s, j: s[j])(adj, idx)    # [B,A,K,K]
+            eq = (
+                (idx_g == jnp.arange(a_ax)[None, :, None, None])
+                & mask_g & adj[..., None]
+            )
+            rev_valid = eq.any(-1)
+            rev_flat = idx * k_ax + jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        else:
+            dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+            adj = dense_topk_mask(dg.dist, dg.adj, self.max_neighbors)
+            dist = jnp.where(adj, dg.dist, 0.0)
+            # unit[b,i,j] = direction i→j; v(j→i) = -unit[b,i,j]
+            unit = jnp.where(
+                adj[..., None],
+                dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0,
+            )
+
         rbf = dimenet_bessel_rbf(
             dist, self.num_radial, self.cutoff, self.envelope_exponent,
             freqs=freqs,
         )
         rbf = jnp.where(adj[..., None], rbf, 0.0).astype(cdt)
 
-        # Legendre-addition-theorem pair features (no [B,A,A,A,·] lattice):
+        # Legendre-addition-theorem pair features (no triplet lattice):
         #   sbf_ln(d_jk, θ_ijk) = (-1)^l √(4π/(2l+1)) Σ_m Y_lm(û_ij)·
         #                          R̃_ln(d_jk) Y_lm(û_jk)
         # ((-1)^l is the parity Y(−û) = (−1)^l Y(û): the i-side unit is
         # û_ji = −û_ij). Orthonormal real harmonics make this exact.
-        L1, R = self.num_spherical, self.num_radial
         y = so3.real_sph_harm(unit, L1 - 1, normalized=True)
-        y = jnp.where(adj[..., None], y, 0.0).astype(cdt)  # [B,A,A,(L)²]
-        c_lm = np.concatenate([
-            np.full(2 * l + 1, (-1.0) ** l * np.sqrt(4 * np.pi / (2 * l + 1)))
-            for l in range(L1)
-        ]).astype(np.float32)
+        y = jnp.where(adj[..., None], y, 0.0).astype(cdt)  # [B,A,·,(L)²]
         yc = y * jnp.asarray(c_lm, cdt)
         rad = dimenet_radial_part(
             dist, self.num_spherical, self.num_radial, self.cutoff,
             self.envelope_exponent,
         )
-        rad = jnp.where(adj[..., None], rad, 0.0).astype(cdt)  # [B,A,A,(L)·R]
+        rad = jnp.where(adj[..., None], rad, 0.0).astype(cdt)  # [B,A,·,(L)·R]
         g_parts = [
             (y[..., l * l : (l + 1) * (l + 1), None]
              * rad[..., None, l * R : (l + 1) * R]).reshape(
                 *adj.shape, (2 * l + 1) * R)
             for l in range(L1)
         ]
-        feats = {
-            "Yc": yc,
-            "Yt": jnp.swapaxes(y, 1, 2),
-            "Rt": jnp.swapaxes(rad, 1, 2),
-            "G": jnp.concatenate(g_parts, axis=-1),  # [B,A,A, R·(L)²]
-        }
+        G = jnp.concatenate(g_parts, axis=-1)  # [B,A,·, R·(L)²]
+        if self.compact:
+            # reverse-edge basis values come free of gathers: the distance
+            # is symmetric (Rt == rad) and Y picks up only the parity sign.
+            yt = y * jnp.asarray(parity, cdt)
+            rt = rad
+        else:
+            yt = jnp.swapaxes(y, 1, 2)
+            rt = jnp.swapaxes(rad, 1, 2)
+        # S[b,i,·,l] = Σ_m Yc_lm · Y_lm(reverse edge) — block-independent
+        s_parts = [
+            jnp.einsum(
+                "bijm,bijm->bij",
+                yc[..., l * l : (l + 1) * (l + 1)],
+                yt[..., l * l : (l + 1) * (l + 1)],
+            )
+            for l in range(L1)
+        ]
+        feats = {"G": G, "Rt": rt, "S": jnp.stack(s_parts, axis=-1)}
+        if self.compact:
+            # dense Yc for the triplet-closing einsum (InteractionPPBlock);
+            # zeroed outside the cutoff so padded-atom units never leak.
+            dgd = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+            unit_d = jnp.where(
+                dgd.adj[..., None],
+                dgd.diff / jnp.maximum(dgd.dist, 1e-10)[..., None], 0.0,
+            )
+            y_d = so3.real_sph_harm(unit_d, L1 - 1, normalized=True)
+            y_d = jnp.where(dgd.adj[..., None], y_d, 0.0).astype(cdt)
+            feats.update(
+                Yc_dense=y_d * jnp.asarray(c_lm, cdt),
+                idx=idx, rev_flat=rev_flat, rev_valid=rev_valid,
+            )
+        else:
+            feats["Yc"] = yc
 
-        # embedding block: m[b,i,j] for edge (j→i)
+        # embedding block: m[b,i,·] for edge (j→i)
         x = nn.Embed(self.num_elements, self.hidden, dtype=cdt, name="atom_embedding")(batch.z)
         rbf_emb = swish(nn.Dense(self.hidden, dtype=cdt, name="rbf_embed")(rbf))
         xi = jnp.broadcast_to(x[:, :, None, :], (*adj.shape, x.shape[-1]))
-        xj = jnp.broadcast_to(x[:, None, :, :], (*adj.shape, x.shape[-1]))
+        if self.compact:
+            xj = jax.vmap(lambda s, j: s[j])(x, idx)  # [B,A,K,H]
+        else:
+            xj = jnp.broadcast_to(x[:, None, :, :], (*adj.shape, x.shape[-1]))
         m = swish(
             nn.Dense(self.hidden, dtype=cdt, name="edge_embed")(
                 jnp.concatenate([xi, xj, rbf_emb], axis=-1)
