@@ -125,12 +125,11 @@ def main():
         idx = seeded_random_split(len(ds), [0.8, 0.1, 0.1], seed=7)
         train_idx, val_idx, test_idx = idx
         # memory-bound models: gemnet_oc's quadruplets at the fixture's
-        # 64-atom bucket; equiformer_v2's fused force-block kernel is
-        # 222 KB over the 127 MB scoped-VMEM budget at (B=32, A=64) —
-        # B=16 shrinks its grid-constant operand block under the line
-        # (dimenetpp was B=8 for its dense lattice; the K-compacted
-        # layout trains at 32)
-        bs = {"gemnet_oc": 16, "equiformer_v2": 16}.get(args.model, 32)
+        # 64-atom bucket need B=16. equiformer_v2 trains at B=32 since the
+        # A>48 receiver-cap fix in ops/pallas/eqv2_attn._r_caps (the bwd
+        # kernel was 222 KB over the 127 MB scoped-VMEM budget at r=4;
+        # verified by scripts/compile_check_eqv2_a64.py on v5e).
+        bs = {"gemnet_oc": 16}.get(args.model, 32)
         dm = SplitModule(ds, train_idx, val_idx, batch_size=bs)
         test_loader = BucketedLoader(ds, test_idx, LoaderConfig(batch_size=bs))
         split_name = "fixture-100 (80/10/10)"

@@ -679,14 +679,19 @@ _env = _os.environ.get("NABLA_EQV2_R")
 _R_CAPS = tuple(int(v) for v in _env.split(",")) if _env else None
 
 
-def _r_caps(mxu_bf16: bool) -> tuple:
+def _r_caps(mxu_bf16: bool, a: int) -> tuple:
     if _R_CAPS is not None:
         return _R_CAPS
     # bwd r=4 only fits VMEM because _weight_list ships the big matmul
     # weights bf16 (f32 weights put the bwd at 160.9M > 128M on real TPU;
     # the weight-grad accumulators stay f32). Measured on TPU v5: (4,4)
     # 805 ms/step vs (4,2) 920 ms at the bench config (B=32, A=48, K=30).
-    return (4, 4) if mxu_bf16 else (2, 1)
+    # Above A=48 the fixed x block (s*a*c) plus the r-scaled per-edge
+    # blocks push the bwd 222KB past the 127M scoped limit at r=4
+    # (measured at the A=64 fixture bucket on v5e) - halve the bwd cap.
+    if mxu_bf16:
+        return (4, 4) if a <= 48 else (4, 2)
+    return (2, 1)
 
 
 def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
@@ -695,7 +700,7 @@ def _run_fwd(x, oh, x_asc, d, xe, maskf, dropk, mats,
     k_e = d.shape[2]  # compacted neighbor slots per receiver
     kw = d.shape[-1]
     ec = xe.shape[-1]
-    r = _pick_r(a, _r_caps(mxu_bf16)[0])
+    r = _pick_r(a, _r_caps(mxu_bf16, a)[0])
     specs = [
         pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
         for w in mats
@@ -782,7 +787,7 @@ def _run_bwd(x, oh, x_asc, d, xe, maskf, dropk, mats, g,
     k_e = d.shape[2]
     kw = d.shape[-1]
     ec = xe.shape[-1]
-    r = _pick_r(a, _r_caps(mxu_bf16)[1])
+    r = _pick_r(a, _r_caps(mxu_bf16, a)[1])
     specs = [
         pl.BlockSpec(w.shape, (lambda nd: lambda bb, ii: (0,) * nd)(w.ndim))
         for w in mats
