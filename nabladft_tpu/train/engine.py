@@ -114,6 +114,14 @@ class TrainerConfig:
     # optimization — reference gemnet_oc scale_file / fit semantics
     fit_scale_factors: bool = True
     scale_fit_batches: int = 4
+    # Keep an in-memory snapshot of the best-`monitor` parameters during
+    # fit and restore it before test/predict (restore_best_for_test).
+    # This is the compiled-SPMD analog of the reference protocol: Lightning
+    # tests against the ModelCheckpoint best, never the last step
+    # (config/callbacks/default.yaml top-3 on val/loss) — without it a
+    # late-training divergence poisons the test metrics (r3 DimeNet++).
+    keep_best_params: bool = True
+    restore_best_for_test: bool = True
 
 
 class Trainer:
@@ -150,6 +158,8 @@ class Trainer:
         self.tx = self._build_tx()
         self.state: Optional[TrainState] = None
         self._step_flops: Optional[float] = None
+        # (step, params, ema_params) device copies at the best `monitor`
+        self._best_snapshot = None
         self.ckpt = (
             CheckpointManager(
                 Path(config.ckpt_dir), top_k=config.save_top_k, monitor=config.monitor
@@ -559,6 +569,16 @@ class Trainer:
                         self.ckpt.save(self.state, step, val_metrics, aux=self._ckpt_aux())
                     if monitored < best - 1e-12:
                         best, bad_epochs = monitored, 0
+                        if cfg.keep_best_params:
+                            # jnp.copy: fresh buffers — the originals are
+                            # donated to the next train step
+                            copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+                            self._best_snapshot = (
+                                step,
+                                copy(self.state.params),
+                                copy(self.state.ema_params)
+                                if self.state.ema_params is not None else None,
+                            )
                     else:
                         bad_epochs += 1
                         if (
@@ -592,7 +612,22 @@ class Trainer:
             metrics[f"{prefix}/loss"] = loss_sum / n_batches
         return metrics
 
+    def restore_best(self) -> bool:
+        """Swap in the best-`monitor` parameter snapshot taken during fit.
+        Returns False when no snapshot exists (fit never improved, or
+        keep_best_params off)."""
+        if self._best_snapshot is None:
+            return False
+        step, params, ema = self._best_snapshot
+        logger.info("restoring best %s params from step %d", self.cfg.monitor, step)
+        self.state = self.state.replace(params=params, ema_params=ema)
+        return True
+
     def test(self, loader) -> Dict[str, float]:
+        # reference protocol: Lightning tests the ModelCheckpoint best on
+        # val/loss, never the final step (config/callbacks/default.yaml)
+        if self.cfg.restore_best_for_test:
+            self.restore_best()
         return self.validate(loader, prefix="test")
 
     def predict(self, loader) -> Iterator[Dict[str, np.ndarray]]:

@@ -200,3 +200,32 @@ def test_warmup_scales_first_updates(toy_data):
         )
     # first warmed step applies (0+1)/10 of the update
     assert deltas[10] == pytest.approx(deltas[0] * 0.1, rel=1e-3), deltas
+
+
+def test_restore_best_for_test(toy_data):
+    """fit snapshots the best-val params; test() must evaluate those, not
+    the final step's (reference protocol: Lightning tests the checkpoint
+    best — a late divergence must not poison test metrics)."""
+    import jax
+
+    model = create_model("schnet", hidden=16, n_interactions=1, n_rbf=8, max_neighbors=7)
+    cfg = TrainerConfig(
+        max_epochs=5, lr=5e-3, schedule="constant", log_every_n_steps=1000,
+        loss_specs={"energy": "mse"}, loss_coefs={"energy": 1.0}, n_dp=1,
+    )
+    trainer = Trainer(model, cfg)
+    dm = ToyModule(toy_data)
+    trainer.fit(dm)
+    assert trainer._best_snapshot is not None
+    best_step, best_params, _ = trainer._best_snapshot
+    # wreck the live params to simulate a post-best divergence
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(lambda p: p * 100.0, trainer.state.params)
+    )
+    wrecked = trainer.validate(dm.val_dataloader())["val/loss"]
+    metrics = trainer.test(dm.test_dataloader())
+    assert metrics["test/loss"] < wrecked
+    # restored state now holds the snapshot
+    got = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    want = jax.tree_util.tree_leaves(best_params)[0]
+    assert np.allclose(np.asarray(got), np.asarray(want))
