@@ -32,6 +32,11 @@ A100_REFERENCE_CONFORMERS_PER_SEC = 800.0
 # on one A100 (torch + e3nn tensor products) — an estimate, not a
 # measurement (no A100 here).
 A100_QHNET_CONFORMERS_PER_SEC = 2.5
+# PhiSNet anchor: same provenance caveat; the reference PhiSNet (order-4
+# irreps stacks, 5 modules, full H/S/C matrix assembly in-forward,
+# phisnet/nn/neural_network.py:717-995) trains at roughly the same
+# order as QHNet on A100-class hardware.
+A100_PHISNET_CONFORMERS_PER_SEC = 2.0
 
 # Reference-capacity configs for the wider zoo (mirroring configs/model/*;
 # bf16 compute, direct force heads where the reference uses them). A100
@@ -125,7 +130,7 @@ def make_batch(rng, batch_size: int | None = None):
     )
 
 
-def make_ham_batch(rng, B=4, A=62, O=640):
+def make_ham_batch(rng, B=4, A=62, O=640, with_overlap_core=False):
     """Production Hamiltonian bucket (VERDICT r1 weak #4 sizes)."""
     from nabladft_tpu.data.batch import MolBatch
 
@@ -134,9 +139,11 @@ def make_ham_batch(rng, B=4, A=62, O=640):
     pos = np.zeros((B, A, 3), np.float32)
     node_mask = np.zeros((B, A), bool)
     ham = np.zeros((B, O, O), np.float32)
+    over = np.zeros((B, O, O), np.float32)
+    core = np.zeros((B, O, O), np.float32)
     orb_mask = np.zeros((B, O), bool)
     for b in range(B):
-        n = int(rng.integers(40, A + 1))
+        n = int(rng.integers(min(40, max(1, A - 4)), A + 1))
         zs = rng.choice([1, 1, 6, 6, 6, 7, 8], size=n)
         no = int(sum(NORB[int(x)] for x in zs))
         while no > O:
@@ -146,13 +153,17 @@ def make_ham_batch(rng, B=4, A=62, O=640):
         z[b, :n] = zs
         pos[b, :n] = rng.normal(size=(n, 3)) * 6  # Bohr
         node_mask[b, :n] = True
-        h = rng.normal(size=(no, no)).astype(np.float32) * 0.1
-        ham[b, :no, :no] = (h + h.T) / 2
+        for m in (ham, over, core):
+            h = rng.normal(size=(no, no)).astype(np.float32) * 0.1
+            m[b, :no, :no] = (h + h.T) / 2
+        over[b] += np.eye(O, dtype=np.float32)  # S ~ identity-dominated
         orb_mask[b, :no] = True
     return MolBatch(
         z=z, pos=pos, node_mask=node_mask, graph_mask=np.ones(B, bool),
         energy=np.zeros(B, np.float32), forces=np.zeros((B, A, 3), np.float32),
         mol_id=np.arange(B, dtype=np.int32), hamiltonian=ham, orb_mask=orb_mask,
+        overlap=over if with_overlap_core else None,
+        core=core if with_overlap_core else None,
     )
 
 
@@ -164,21 +175,33 @@ def _step_flops(trainer, state, batch):
     return compiled_flops(trainer._jit_train_step, state, batch)
 
 
-def bench_qhnet() -> None:
-    """QHNet Hamiltonian training step at the production orbital bucket
-    (block-space loss; fused Pallas tensor-product kernels; remat off —
-    the kernels' custom VJPs make stored residuals cheap enough that
-    recomputation only costs time)."""
+def bench_ham(name: str) -> None:
+    """Hamiltonian-model training step at the production orbital bucket
+    (B=4, A=62, O=640 — the reference's 1200-orbital budget packs ~2
+    molecules/step; this bucket is strictly harder).
+
+    qhnet: block-space loss, fused Pallas tensor-product kernels.
+    phisnet: full-matrix H/S/C losses (the reference PhiSNet trainer's
+    separate-targets mode, phisnet/configs/args_nablaDFT_*_separate.txt)."""
     from nabladft_tpu.models import create_model
     from nabladft_tpu.train import Trainer, TrainerConfig
     from nabladft_tpu.train.profiling import measured_peak_flops
 
     n_chips = len(jax.devices())
-    batch = make_ham_batch(np.random.default_rng(0))
-    model = create_model("qhnet", assemble_matrix=False, remat=False)
+    if name == "qhnet":
+        batch = make_ham_batch(np.random.default_rng(0))
+        model = create_model("qhnet", assemble_matrix=False, remat=False)
+        specs = {"hamiltonian": "rmse_mae"}
+        anchor = A100_QHNET_CONFORMERS_PER_SEC
+    else:
+        batch = make_ham_batch(np.random.default_rng(0), with_overlap_core=True)
+        model = create_model("phisnet")
+        specs = {"hamiltonian": "rmse_mae", "overlap": "rmse_mae",
+                 "core": "rmse_mae"}
+        anchor = A100_PHISNET_CONFORMERS_PER_SEC
     cfg = TrainerConfig(
         schedule="constant", lr=1e-3, log_every_n_steps=10**9, ema_decay=0.99,
-        loss_specs={"hamiltonian": "rmse_mae"}, loss_coefs={"hamiltonian": 1.0},
+        loss_specs=specs, loss_coefs={k: 1.0 for k in specs},
     )
     trainer = Trainer(model, cfg)
     trainer.init_state(batch)
@@ -196,14 +219,15 @@ def bench_qhnet() -> None:
     b = batch.z.shape[0]
     per_chip = b * n / dt / n_chips
     out = {
-        "metric": "qhnet_train_conformers_per_sec_per_chip",
+        "metric": f"{name}_train_conformers_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "conformers/s/chip",
-        "vs_baseline": round(per_chip / A100_QHNET_CONFORMERS_PER_SEC, 3),
+        "vs_baseline": round(per_chip / anchor, 3),
         "step_ms": round(dt / n * 1e3, 1),
     }
     if flops:
-        peak = measured_peak_flops("float32")  # fp32 model
+        peak = measured_peak_flops("float32")  # fp32 models
+        out["peak_tflops_fp32"] = round(peak / 1e12, 1)
         out["mfu_vs_measured_fp32_peak"] = round(flops / (dt / n) / peak, 4)
     print(json.dumps(out))
 
@@ -266,6 +290,7 @@ def bench_zoo(name: str) -> None:
     }
     if flops:
         peak = measured_peak_flops("bfloat16")
+        out["peak_tflops_bf16"] = round(peak / 1e12, 1)
         out["mfu_vs_measured_bf16_peak"] = round(flops / step_s / peak, 4)
     print(json.dumps(out))
 
@@ -308,20 +333,47 @@ def main() -> None:
         from nabladft_tpu.train.profiling import measured_peak_flops
 
         peak = measured_peak_flops("bfloat16")
+        out["peak_tflops_bf16"] = round(peak / 1e12, 1)
         out["mfu_vs_measured_bf16_peak"] = round(flops / step_s / peak, 4)
     print(json.dumps(out))
 
 
-def run_all() -> None:
+# expected wall seconds per bench row on the tunneled v5e (compile through
+# the remote AOT helper dominates; measure loops are seconds). Used only
+# for the time-budget planner — stale estimates degrade to skipping late
+# rows, never to rc != 0.
+EXPECTED_ROW_SECONDS = {
+    "painn": 240, "schnet": 300, "graphormer3d": 240, "dimenetpp": 300,
+    "gemnet_oc": 420, "qhnet": 480, "phisnet": 600, "escn": 600,
+    "equiformer_v2": 720,
+}
+
+
+def run_all(budget_s: float | None = None) -> None:
     """Default driver artifact: the headline PaiNN line FIRST (the driver
     records line one in BENCH_r{N}.json), then one JSON line per zoo model
-    + QHNet so the full table lands in the round log (VERDICT r2 item 7).
-    Each model runs in a subprocess: one model's OOM/compile failure (or
-    leftover HBM fragmentation) must not poison the others."""
+    + QHNet + PhiSNet so the full table lands in the round log. Each model
+    runs in a subprocess: one model's OOM/compile failure (or leftover HBM
+    fragmentation) must not poison the others.
+
+    budget_s (or $NABLA_BENCH_BUDGET, default 3300 s): total wall budget.
+    Rows run cheapest-first after the headline; a row whose estimate no
+    longer fits is emitted as an explicit skip line instead of letting the
+    driver's timeout truncate the artifact mid-row (BENCH_r03 rc=124 lost
+    three rows that had actually been measured in earlier sessions)."""
+    import os
     import subprocess
     import sys
 
-    print_order = ["painn", *sorted(ZOO_BENCH), "qhnet"]
+    if budget_s is None:
+        budget_s = float(os.environ.get("NABLA_BENCH_BUDGET", 3300))
+    t_start = time.perf_counter()
+
+    ham_rows = ["qhnet", "phisnet"]
+    rest = [*ZOO_BENCH, *ham_rows]
+    print_order = ["painn"] + sorted(
+        rest, key=lambda n: EXPECTED_ROW_SECONDS.get(n, 600)
+    )
     # pre-flight: if the device is unreachable (the axon tunnel has wedged
     # for hours at a stretch), fail ALL lines in ~4 min instead of hanging
     # each model subprocess to its 30-min cap (9 x 1800 s).
@@ -348,10 +400,22 @@ def run_all() -> None:
             }), flush=True)
         return
     for name in print_order:
+        remaining = budget_s - (time.perf_counter() - t_start)
+        est = EXPECTED_ROW_SECONDS.get(name, 600)
+        if name != "painn" and remaining < est:
+            print(json.dumps({
+                "metric": f"{name}_train_conformers_per_sec_per_chip",
+                "value": None, "unit": "conformers/s/chip",
+                "vs_baseline": None,
+                "error": f"skipped: {remaining:.0f}s left < {est}s estimate "
+                         f"(budget {budget_s:.0f}s)",
+            }), flush=True)
+            continue
         try:
             res = subprocess.run(
                 [sys.executable, __file__, "--model", name],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True,
+                timeout=max(120, min(1800, remaining)),
             )
             line = None
             for ln in (res.stdout or "").splitlines():
@@ -377,13 +441,17 @@ def run_all() -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--model", default=None, choices=["painn", "qhnet", "all", *ZOO_BENCH],
+        "--model", default=None,
+        choices=["painn", "qhnet", "phisnet", "all", *ZOO_BENCH],
     )
+    ap.add_argument("--time-budget", type=float, default=None,
+                    help="total wall budget (s) for --model all; default "
+                         "$NABLA_BENCH_BUDGET or 3300")
     args = ap.parse_args()
     if args.model in (None, "all"):
-        run_all()
-    elif args.model == "qhnet":
-        bench_qhnet()
+        run_all(budget_s=args.time_budget)
+    elif args.model in ("qhnet", "phisnet"):
+        bench_ham(args.model)
     elif args.model in ZOO_BENCH:
         bench_zoo(args.model)
     else:

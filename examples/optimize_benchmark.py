@@ -93,7 +93,50 @@ def train_painn(epochs: int, workdir: Path):
     return model, trainer.state.params
 
 
+def train_schnet(epochs: int, workdir: Path):
+    """Second, architecturally different model for the cross-model
+    reference (see main's docstring)."""
+    import shutil
+
+    db = workdir / FIXTURE_TRAIN_DB.name
+    if not db.exists():
+        shutil.copy(FIXTURE_TRAIN_DB, db)
+    ds = EnergyDataset(str(db))
+    tr, va, _ = seeded_random_split(len(ds), (0.9, 0.1, 0.0), seed=7)
+    model = create_model(
+        "schnet", hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
+        max_neighbors=63, use_pallas="fused", compute_dtype="bfloat16",
+        remat=False,
+    )
+    cfg = TrainerConfig(
+        max_epochs=epochs, lr=5e-4, schedule="cosine",
+        warmup_steps=50, total_steps=epochs * max(1, len(tr) // 32),
+        loss_specs={"energy": "l1", "forces": "l2norm"},
+        loss_coefs={"energy": 1.0, "forces": 30.0},
+        force_grads="pallas", log_every_n_steps=200,
+    )
+    trainer = Trainer(model, cfg)
+    trainer.fit(SplitModule(ds, tr, va, 32))
+    return model, trainer.state.params
+
+
 def main():
+    """The committed fixture DB stores NO energies (all 5 rows have
+    energy=None — verified), so 'pct vs the input DB's stored energies' is
+    not computable; the reference's own integration test only asserts
+    relaxed < initial per model (tests/optimization/test_optim_pipelines.py:9-28).
+    This driver therefore reports, per relaxing model:
+
+      * the reference-test parity assertion (all relaxed energies strictly
+        below initial);
+      * self-reference metrics (tight self-relaxation as minimum) — the
+        optimizer-quality number of earlier rounds;
+      * CROSS-MODEL metrics: the other architecture's tight minimum
+        geometry re-evaluated under this model's energy surface is the
+        external reference (E_ref = E_A(x_B*)); success% then measures
+        whether two independently trained architectures find the same
+        minima, which no self-relaxation can flatter.
+    """
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--fmax", type=float, default=0.05)
@@ -105,43 +148,82 @@ def main():
     workdir.mkdir(parents=True, exist_ok=True)
 
     t0 = time.time()
-    model, params = train_painn(args.epochs, workdir)
+    models = {}
+    models["painn"] = train_painn(args.epochs, workdir)
+    models["schnet"] = train_schnet(args.epochs, workdir)
     t_train = time.time() - t0
 
     # the committed optimization fixture: 5 drug-like conformers
     # (parse_energy_db falls back to a tmp cache for read-only source dirs)
     opt_ds = EnergyDataset(str(FIXTURE_OPTIM_DB))
     loader = BucketedLoader(opt_ds, config=LoaderConfig(batch_size=8, shuffle=False))
-    calc = BatchwiseCalculator(model, params)
+    batches = list(loader)
 
-    e_init, e_bench, e_tight, steps_used = [], [], [], []
-    for batch in loader:
-        mask = np.asarray(batch.graph_mask)
-        e0 = np.asarray(calc(batch)[0])
-        bench = lbfgs_relax(calc, batch, fmax=args.fmax, max_steps=args.steps,
-                            line_search="wolfe")
-        tight = lbfgs_relax(calc, batch, fmax=5e-4, max_steps=1000,
-                            line_search="wolfe")
-        e_init.extend(e0[mask].tolist())
-        e_bench.extend(np.asarray(bench.energy)[mask].tolist())
-        e_tight.extend(np.asarray(tight.energy)[mask].tolist())
-        steps_used.extend(np.asarray(bench.n_steps)[mask].tolist()
-                          if hasattr(bench, "n_steps") else [])
+    runs = {}
+    for name, (model, params) in models.items():
+        calc = BatchwiseCalculator(model, params)
+        e_init, e_bench, e_tight, pos_tight, pos0 = [], [], [], [], []
+        for batch in batches:
+            mask = np.asarray(batch.graph_mask)
+            e0 = np.asarray(calc(batch)[0])
+            bench = lbfgs_relax(calc, batch, fmax=args.fmax, max_steps=args.steps,
+                                line_search="wolfe")
+            tight = lbfgs_relax(calc, batch, fmax=5e-4, max_steps=1000,
+                                line_search="wolfe")
+            e_init.extend(e0[mask].tolist())
+            e_bench.extend(np.asarray(bench.energy)[mask].tolist())
+            e_tight.extend(np.asarray(tight.energy)[mask].tolist())
+            pos_tight.append(np.asarray(tight.pos))
+            pos0.append(np.asarray(batch.pos))
+        runs[name] = dict(
+            calc=calc, e_init=np.asarray(e_init), e_bench=np.asarray(e_bench),
+            e_tight=np.asarray(e_tight), pos_tight=pos_tight,
+        )
 
-    metrics = optimization_metrics(
-        np.asarray(e_init), np.asarray(e_bench), np.asarray(e_tight)
-    )
     result = {
-        "model": "painn (fixture-trained)",
-        "reference_energies": "tight self-relaxation (no DFT minima offline)",
-        "fmax": args.fmax,
-        "steps": args.steps,
+        "fmax": args.fmax, "steps": args.steps,
         "train_seconds": round(t_train, 1),
-        **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()},
+        "reference_note": "fixture optim DB stores no energies (energy=None "
+                          "in all 5 rows); external reference = cross-model "
+                          "tight minima, matching the reference test's "
+                          "relaxed<initial assertion protocol",
     }
+    names = list(runs)
+    for name in names:
+        r = runs[name]
+        other = [n for n in names if n != name][0]
+        ro = runs[other]
+        # reference-test parity: every relaxed energy strictly below initial
+        # (tests/optimization/test_optim_pipelines.py:9-28)
+        lowered = bool(np.all(r["e_bench"] < r["e_init"]))
+        self_m = optimization_metrics(r["e_init"], r["e_bench"], r["e_tight"])
+        # cross-model reference: other's tight minimum geometry re-evaluated
+        # under THIS model's surface
+        e_cross = []
+        for batch, pt in zip(batches, ro["pos_tight"]):
+            mask = np.asarray(batch.graph_mask)
+            e = np.asarray(r["calc"](batch.replace(pos=pt))[0])
+            e_cross.extend(e[mask].tolist())
+        cross_m = optimization_metrics(
+            r["e_init"], r["e_bench"], np.asarray(e_cross)
+        )
+        # geometric agreement of the two models' tight minima
+        disp = [
+            float(np.sqrt(((a - b) ** 2).sum(-1)[np.asarray(batch.node_mask)].mean()))
+            for batch, a, b in zip(batches, r["pos_tight"], ro["pos_tight"])
+        ]
+        result[name] = {
+            "all_relaxed_below_initial": lowered,
+            "self_reference": {k: round(v, 4) for k, v in self_m.items()},
+            f"cross_reference_vs_{other}": {
+                k: round(v, 4) for k, v in cross_m.items()
+            },
+            "tight_minima_rmsd_vs_other_A": round(float(np.mean(disp)), 4),
+        }
     print(json.dumps(result))
-    out = Path(args.out) if args.out else Path(__file__).resolve().parent.parent / "optbench.json"
-    out.write_text(json.dumps(result, indent=1))
+    out = Path(args.out) if args.out else Path(__file__).resolve().parent.parent / "results" / "optimize_benchmark.json"
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
