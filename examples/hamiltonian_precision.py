@@ -203,6 +203,13 @@ def main():
     ap.add_argument("--max-steps", type=int, default=30000)
     ap.add_argument("--target", type=float, default=1e-4)
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument(
+        "--schedule", default="plateau", choices=["plateau", "cosine"],
+        help="cosine decays to ~0 over --max-steps (global step, so it "
+             "composes with the chunked fit and --state resume); the r3 "
+             "QHNet plateau run stalled at 1.10e-4 vs the 1e-4 target — "
+             "a terminal decay squeezes the last fraction",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--state", default=None,
@@ -234,7 +241,9 @@ def main():
     cfg = TrainerConfig(
         max_epochs=args.max_steps // n_batches, max_steps=args.max_steps,
         lr=args.lr, optimizer="amsgrad",
-        schedule="plateau", plateau_factor=0.7, plateau_patience=60,
+        schedule=args.schedule, total_steps=args.max_steps,
+        warmup_steps=100 if args.schedule == "cosine" else 0,
+        plateau_factor=0.7, plateau_patience=60,
         plateau_min_lr=1e-6, grad_clip=10.0,
         ema_decay=0.999, eval_with_ema=True,
         log_every_n_steps=500, loss_specs=specs, loss_coefs=coefs,

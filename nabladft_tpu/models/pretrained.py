@@ -8,12 +8,16 @@ download with ETag validation, and restore weights into a framework model.
 Published checkpoints are PyTorch state dicts, so restoring them here means
 a structural conversion. Converters are registered per family; they map
 torch parameter names/layouts onto the flax parameter tree. Covered:
-SchNet, PaiNN, DimeNet++, Graphormer3D, eSCN (the eSCN conversion is
-verbatim — our table-free real-SH basis proves to be exactly e3nn's under
-a fixed axis relabel, see convert_escn). Families whose TPU architecture
-is a re-design rather than a re-parameterization (QHNet/PhiSNet fused
-tensor products, GemNet-OC's collapsed residual topology) are better
-re-trained — `convertible_families()` reports which is which.
+SchNet, PaiNN, DimeNet++, Graphormer3D, eSCN, EquiformerV2 (the eSCN and
+EqV2 conversions are verbatim — our table-free real-SH basis proves to be
+exactly e3nn's under a fixed axis relabel, see convert_escn; EqV2
+checkpoints additionally need the model built with `m_share_rad=False`,
+the published use_m_share_rad=False parameterization — see
+convert_equiformer_v2 and tests/models/test_pretrained_eqv2.py). Families
+whose TPU architecture is a re-design rather than a re-parameterization
+(QHNet/PhiSNet fused tensor products, GemNet-OC's collapsed residual
+topology) are better re-trained — `convertible_families()` reports which
+is which.
 
 Note torch Linear stores weight as [out, in]; flax Dense as [in, out].
 """
@@ -391,18 +395,165 @@ def convert_escn(state: Dict[str, np.ndarray], params: Dict, model=None) -> Dict
     return params
 
 
-# EquiformerV2: deliberately NOT convertible. The reference's shipped config
-# (config/model/equiformer_v2_oc20.yaml) leaves use_m_share_rad=False, so each
-# SO2_Convolution carries an internal per-m RadialFunction MLP
-# (so2_ops.py via radial_function.py: Linear+LayerNorm+SiLU stacks), and every
-# attention block owns its own source/target atom-edge embeddings
-# (transformer_block.py:108-115, share_atom_edge_embedding=false). Our TPU
-# design intentionally uses the use_m_share_rad=True variant — a single
-# per-(l,channel) radial Dense whose scaling commutes with the edge rotation
-# and folds into the fused Pallas attention kernel — plus one shared global
-# edge embedding. Parameter sets are structurally disjoint; re-train with the
-# TPU trainer instead (the same verbatim-basis argument as convert_escn WOULD
-# apply if the parameterizations matched — see test_pretrained_escn).
+def _trunc_rescale(l_max: int, m_max: int) -> np.ndarray:
+    """Per-l factor sqrt((2l+1)/(2M+1)) for l > M, else 1 — the reference's
+    rotate_inv_rescale (so3.py:143-167) applied after every truncated
+    rotate-back. Our model's rotate-back is the plain Wigner transpose, so
+    the factor is absorbed into the weights that consume the rotated-back
+    rows (per-l linear maps), keeping the hot path rescale-free."""
+    return np.asarray([
+        np.sqrt((2 * l + 1) / (2 * m_max + 1)) if l > m_max else 1.0
+        for l in range(l_max + 1)
+    ])
+
+
+def _fill_radial_fn(p, prefix_ours, prefix_torch, state, n_layers=3,
+                    out_row_scale=None):
+    """Reference RadialFunction (radial_function.py): net indices are
+    Linear(0), LN(1), SiLU(2), Linear(3), LN(4), SiLU(5), ..., Linear(last).
+    Ours: lin_{i} / ln_{i}. `out_row_scale`: per-output-feature factor
+    folded into the LAST Linear (weight rows + bias)."""
+    for i in range(n_layers):
+        tidx = 3 * i
+        w = _t(state[f"{prefix_torch}.net.{tidx}.weight"])
+        b = state[f"{prefix_torch}.net.{tidx}.bias"]
+        if out_row_scale is not None and i == n_layers - 1:
+            w = w * out_row_scale[None, :]
+            b = b * out_row_scale
+        _fill(p, f"{prefix_ours}/lin_{i}/kernel", w)
+        _fill(p, f"{prefix_ours}/lin_{i}/bias", b)
+        if i < n_layers - 1:
+            _fill(p, f"{prefix_ours}/ln_{i}/scale",
+                  state[f"{prefix_torch}.net.{tidx + 1}.weight"])
+            _fill(p, f"{prefix_ours}/ln_{i}/bias",
+                  state[f"{prefix_torch}.net.{tidx + 1}.bias"])
+
+
+def _fill_norm_sh(p, prefix_ours, prefix_torch, state):
+    """'layer_norm_sh' (layer_norm.py:117-215): l=0 LayerNorm + per-(l>0,
+    channel) affine weight."""
+    _fill(p, f"{prefix_ours}/ln0/scale", state[f"{prefix_torch}.norm_l0.weight"])
+    _fill(p, f"{prefix_ours}/ln0/bias", state[f"{prefix_torch}.norm_l0.bias"])
+    _fill(p, f"{prefix_ours}/affine_weight", state[f"{prefix_torch}.affine_weight"])
+
+
+def _fill_so3_linear(p, prefix_ours, prefix_torch, state):
+    """SO3_LinearV2 (so3.py:603-641): weight [L+1, out, in] -> [L+1, in, out]."""
+    _fill(p, f"{prefix_ours}/weight",
+          np.ascontiguousarray(state[f"{prefix_torch}.weight"].transpose(0, 2, 1)))
+    _fill(p, f"{prefix_ours}/bias", state[f"{prefix_torch}.bias"])
+
+
+def _fill_ref_ffn(p, prefix_ours, prefix_torch, state):
+    """Reference FeedForwardNetwork w/ grid MLP + separable S2
+    (transformer_block.py:328-455)."""
+    _fill(p, f"{prefix_ours}/scalar_mlp/kernel",
+          _t(state[f"{prefix_torch}.scalar_mlp.0.weight"]))
+    _fill(p, f"{prefix_ours}/scalar_mlp/bias",
+          state[f"{prefix_torch}.scalar_mlp.0.bias"])
+    _fill_so3_linear(p, f"{prefix_ours}/so3_linear_1",
+                     f"{prefix_torch}.so3_linear_1", state)
+    for i, tidx in enumerate((0, 2, 4)):
+        _fill(p, f"{prefix_ours}/grid_{i}/kernel",
+              _t(state[f"{prefix_torch}.grid_mlp.{tidx}.weight"]))
+    _fill_so3_linear(p, f"{prefix_ours}/so3_linear_2",
+                     f"{prefix_torch}.so3_linear_2", state)
+
+
+def _fill_eqv2_attention(p, ours, torch_pfx, state, model):
+    """SO2EquivariantGraphAttention (transformer_block.py:22-326) with
+    use_m_share_rad=False and per-block atom-edge embeddings."""
+    L, M = model.l_max, model.m_max
+    h, va = model.num_heads, model.attn_alpha_channels
+    vc = model.attn_value_channels
+    hid = model.attn_hidden_channels or h * vc
+
+    _fill(p, f"{ours}/source_embedding/embedding",
+          state[f"{torch_pfx}.source_embedding.weight"])
+    _fill(p, f"{ours}/target_embedding/embedding",
+          state[f"{torch_pfx}.target_embedding.weight"])
+    _fill_radial_fn(p, f"{ours}/so2_conv_1/rad_func",
+                    f"{torch_pfx}.so2_conv_1.rad_func", state)
+
+    # fc_m0 out-feature order: torch = [extra (h·va then gating hid),
+    # per-l (L+1)·out] (so2_ops.py:172-186, extra narrow'd at offset 0);
+    # ours = [per-l, extra] — permute columns of the transposed kernel.
+    def fc_m0(conv, out_c, extra_n):
+        w = _t(state[f"{torch_pfx}.{conv}.fc_m0.weight"])  # [in, out]
+        b = state[f"{torch_pfx}.{conv}.fc_m0.bias"]
+        perm = np.concatenate([
+            np.arange(extra_n, extra_n + (L + 1) * out_c),
+            np.arange(0, extra_n),
+        ])
+        _fill(p, f"{ours}/{conv}/fc_m0/kernel", w[:, perm])
+        _fill(p, f"{ours}/{conv}/fc_m0/bias", b[perm])
+
+    fc_m0("so2_conv_1", hid, h * va + hid)
+    fc_m0("so2_conv_2", h * vc, 0)
+    for conv, out_c in (("so2_conv_1", hid), ("so2_conv_2", h * vc)):
+        for m in range(1, M + 1):
+            n_l = L + 1 - m
+            w = state[f"{torch_pfx}.{conv}.so2_m_conv.{m - 1}.fc.weight"]
+            _fill(p, f"{ours}/{conv}/fc_r_m{m}/kernel", _t(w[: n_l * out_c]))
+            _fill(p, f"{ours}/{conv}/fc_i_m{m}/kernel", _t(w[n_l * out_c :]))
+
+    _fill(p, f"{ours}/alpha_norm/scale", state[f"{torch_pfx}.alpha_norm.weight"])
+    _fill(p, f"{ours}/alpha_norm/bias", state[f"{torch_pfx}.alpha_norm.bias"])
+    _fill(p, f"{ours}/alpha_dot", state[f"{torch_pfx}.alpha_dot"])
+
+    pw = state[f"{torch_pfx}.proj.weight"]  # [L+1, out, in]
+    resc = _trunc_rescale(L, M)  # rotate_inv rescale folded into proj
+    for l in range(L + 1):
+        _fill(p, f"{ours}/proj_l{l}/kernel", _t(pw[l]) * resc[l])
+    _fill(p, f"{ours}/proj_l0/bias", state[f"{torch_pfx}.proj.bias"])
+
+
+@register_converter("equiformer_v2")
+def convert_equiformer_v2(state: Dict[str, np.ndarray], params: Dict,
+                          model=None) -> Dict:
+    """EquiformerV2_OC20 (equiformer_v2_oc20.py:46) -> our m_share_rad=False
+    (reference-compatible) variant. The shipped config leaves
+    use_m_share_rad=False — per-m RadialFunction MLPs inside every
+    SO2_Convolution — and share_atom_edge_embedding=false — per-block
+    source/target embeddings; both are first-class model flags now
+    (models/equiformer_v2.py). The verbatim-weight-copy argument is the
+    eSCN one (test_pretrained_escn.test_basis_transport_identity): our
+    basis is e3nn's under the fixed axis relabel, so edge-frame coefficient
+    stacks are identical and every SO(2)/per-l weight maps 1:1.
+
+    Requires a model built with m_share_rad=False, num_distance_basis=600,
+    basis_width_scalar=2.0, attn_hidden_channels=64 (reference
+    attn_hidden_channels)."""
+    if getattr(model, "m_share_rad", True):
+        raise ValueError(
+            "equiformer_v2 checkpoints need the reference-compatible "
+            "variant: create_model('equiformer_v2', m_share_rad=False, "
+            "num_distance_basis=600, attn_hidden_channels=64, ...)"
+        )
+    p = params["params"] if "params" in params else params
+    _fill(p, "sphere_embedding/embedding", state["sphere_embedding.weight"])
+    _fill(p, "edge_degree_source_embedding/embedding",
+          state["edge_degree_embedding.source_embedding.weight"])
+    _fill(p, "edge_degree_target_embedding/embedding",
+          state["edge_degree_embedding.target_embedding.weight"])
+    # edge-degree output rows are the m=0 coefficients of every l; the
+    # reference's rotate-back rescales l>M rows (so3.py:143-167) — fold it
+    # into the RadialFunction's last Linear (row layout: l-major × C)
+    deg_scale = np.repeat(_trunc_rescale(model.l_max, model.m_max),
+                          model.sphere_channels)
+    _fill_radial_fn(p, "edge_degree_rad", "edge_degree_embedding.rad_func",
+                    state, out_row_scale=deg_scale)
+    for i in range(model.num_layers):
+        t = f"block_{i}"
+        b = f"blocks.{i}"
+        _fill_norm_sh(p, f"{t}/norm_1", f"{b}.norm_1", state)
+        _fill_eqv2_attention(p, f"{t}/ga", f"{b}.ga", state, model)
+        _fill_norm_sh(p, f"{t}/norm_2", f"{b}.norm_2", state)
+        _fill_ref_ffn(p, f"{t}/ffn", f"{b}.ffn", state)
+    _fill_norm_sh(p, "norm_final", "norm", state)
+    _fill_ref_ffn(p, "energy_block", "energy_block", state)
+    _fill_eqv2_attention(p, "force_block", "force_block", state, model)
+    return params
 
 
 def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example_batch):

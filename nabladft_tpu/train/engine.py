@@ -58,6 +58,12 @@ class TrainerConfig:
     grad_clip: Optional[float] = None
     schedule: str = "plateau"  # plateau | constant | linear | polynomial | cosine | multistep
     schedule_kwargs: Dict[str, Any] = field(default_factory=dict)
+    # decay horizon for step-indexed schedules (cosine/linear/polynomial);
+    # falls back to max_steps. Needed when fit() is driven in chunks with
+    # max_steps=None (examples/hamiltonian_precision.py) — the schedule is
+    # a function of the GLOBAL state.step, so the horizon must be the whole
+    # run, not the chunk.
+    total_steps: Optional[int] = None
     warmup_steps: int = 0
     plateau_factor: float = 0.8
     plateau_patience: int = 10
@@ -188,7 +194,7 @@ class Trainer:
         schedule = build_schedule(
             cfg.schedule,
             cfg.lr,
-            total_steps=cfg.max_steps or 1_000_000,
+            total_steps=cfg.total_steps or cfg.max_steps or 1_000_000,
             warmup_steps=cfg.warmup_steps,
             **cfg.schedule_kwargs,
         )
