@@ -43,6 +43,9 @@ _TINY_KW = {
     "gemnet_oc": dict(num_blocks=2, emb_size_atom=8, emb_size_edge=8,
                       num_radial=8, num_spherical=3, max_neighbors=4,
                       max_neighbors_qint=2),
+    "dimenetpp": dict(num_blocks=2, hidden=16, int_emb_size=8,
+                      basis_emb_size=4, out_emb_channels=8, num_spherical=3,
+                      num_radial=4, max_neighbors=4),
 }
 
 
@@ -180,7 +183,12 @@ def profile_dimenetpp():
     def no_triplet(self, mm, rbf, feats, adj):
         import jax.numpy as jnp
 
-        zero = {k: v * 0.0 for k, v in feats.items()}
+        # zero only the float basis tensors; idx/rev_flat/rev_valid are
+        # integer/bool gather operands and must stay valid indices
+        zero = {
+            k: v * 0.0 if jnp.issubdtype(v.dtype, jnp.floating) else v
+            for k, v in feats.items()
+        }
         return inter_orig(self, mm, rbf, zero, adj)
 
     with _patched(m.InteractionPPBlock, "__call__", no_triplet):

@@ -129,7 +129,10 @@ def main():
         # A>48 receiver-cap fix in ops/pallas/eqv2_attn._r_caps (the bwd
         # kernel was 222 KB over the 127 MB scoped-VMEM budget at r=4;
         # verified by scripts/compile_check_eqv2_a64.py on v5e).
-        bs = {"gemnet_oc": 16}.get(args.model, 32)
+        # dimenetpp: the fp32 derivative-forces train step at the fixture's
+        # 64-atom bucket needs 17.9 GB at B=32 (64M [32,64,32,256] HLO
+        # temps in the reverse-over-reverse pass) — B=16 fits in 15.75 GB
+        bs = {"gemnet_oc": 16, "dimenetpp": 16}.get(args.model, 32)
         dm = SplitModule(ds, train_idx, val_idx, batch_size=bs)
         test_loader = BucketedLoader(ds, test_idx, LoaderConfig(batch_size=bs))
         split_name = "fixture-100 (80/10/10)"
