@@ -1,0 +1,131 @@
+"""Real-schema QHNet end-to-end: generate a full-schema Hamiltonian DB and
+drive the actual CLI on it (VERDICT r3 item 5, second half).
+
+The unit suite trains QHNet on 8-molecule in-memory synthetic DBs; this
+script exercises the full production data path at meaningful size instead:
+
+  * a GENERATED HamiltonianDatabase with the complete reference schema —
+    data(Z,R,E,F,H,S,C blobs), dataset_ids(moses/conformer), basisset
+    (Z -> orbital l-list), nuclear_charges, metadata — written through the
+    framework's own writer (reference schema: hamiltonian_dataset.py:17-267);
+  * targets are the rotation-covariant extended-Hückel model from
+    examples/hamiltonian_precision.py (analytic solid-harmonic-Gaussian
+    overlaps), on REAL fixture geometries, so the matrices carry the
+    symmetry structure of actual DFT output;
+  * molecule sizes span several atom AND orbital buckets, so the
+    orbital-budget bucket grid (reference hamiltonian_dataset.py:286-405
+    semantics) actually multi-buckets;
+  * training runs through `nabladft_tpu.cli` with configs/qhnet.yaml plus
+    dotted overrides — the same surface a user drives.
+
+Usage:
+  python examples/qhnet_cli_e2e.py [--n-mols 48] [--epochs 3] [--cpu]
+      [--small] [--log outputs/qhnet_cli_e2e.log]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def generate_db(out: Path, n_mols: int) -> dict:
+    import numpy as np
+
+    from examples.hamiltonian_precision import (
+        ANGSTROM_TO_BOHR, ORBITALS, SHELLS, make_targets)
+    from nabladft_tpu.data.dataset import EnergyDataset
+    from nabladft_tpu.data.hamiltonian_db import (
+        HamiltonianDatabase, HamiltonianRecord)
+
+    import shutil
+
+    fixture = Path("/root/reference/tests/data/raw/test_database.db")
+    local = Path("datasets/fixture")
+    local.mkdir(parents=True, exist_ok=True)
+    src = local / fixture.name
+    if not src.exists():
+        shutil.copy(fixture, src)
+    ds = EnergyDataset(src)
+
+    if out.exists():
+        out.unlink()
+    db = HamiltonianDatabase(out, create=True)
+    for z, orbs in ORBITALS.items():
+        db.add_orbitals(z, np.asarray(orbs, np.int32))
+
+    rng = np.random.default_rng(11)
+    n_atoms, n_orb = [], []
+    n_src = len(ds)
+    for i in range(n_mols):
+        zr, posr, er, fr = ds.records.slice(i % n_src)
+        z = np.asarray(zr)
+        pos = np.asarray(posr, np.float64)
+        keep = np.isin(z, list(SHELLS))
+        z, pos = z[keep], pos[keep]
+        S, H, C = make_targets(z, pos * ANGSTROM_TO_BOHR)
+        db.add(HamiltonianRecord(
+            z=z.astype(np.int32),
+            pos=pos.astype(np.float32),
+            energy=float(np.trace(H)),
+            forces=np.asarray(fr, np.float32)[keep]
+            if fr is not None else np.zeros((len(z), 3), np.float32),
+            hamiltonian=H.astype(np.float32),
+            overlap=S.astype(np.float32),
+            core=C.astype(np.float32),
+            moses_id=int(i),
+            conformer_id=int(rng.integers(0, 3)),
+        ))
+        n_atoms.append(len(z))
+        n_orb.append(S.shape[0])
+    return {"n_mols": n_mols, "atoms": (min(n_atoms), max(n_atoms)),
+            "orbitals": (min(n_orb), max(n_orb))}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-mols", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize pins TPU)")
+    ap.add_argument("--small", action="store_true",
+                    help="shrink the model for CPU feasibility")
+    ap.add_argument("--db", default="datasets/synth_eht/ham_eht.db")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    db_path = Path(args.db)
+    db_path.parent.mkdir(parents=True, exist_ok=True)
+    stats = generate_db(db_path, args.n_mols)
+    print(f"generated full-schema DB {db_path}: {stats}", flush=True)
+
+    from nabladft_tpu.cli import main as cli_main
+
+    overrides = [
+        f"dataset_name={db_path}",
+        f"trainer.max_epochs={args.epochs}",
+        "trainer.log_every_n_steps=5",
+        "datamodule.batch_size=4",
+        "datamodule.val_fraction=0.15",
+    ]
+    if args.small:
+        overrides += [
+            "model.kwargs.hidden=16",
+            "model.kwargs.bottle_hidden=8",
+            "model.kwargs.num_layers=2",
+            "model.kwargs.rbf_dim=8",
+        ]
+    argv = ["--config", "configs/qhnet.yaml", *overrides]
+    print(f"driving CLI: {argv}", flush=True)
+    return cli_main(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -265,8 +265,12 @@ class DimeNetPP(nn.Module):
         if self.compact:
             a_ax = batch.pos.shape[1]
             k_ax = min(self.max_neighbors, a_ax)
+            # one dense graph shared between the top-k compaction and the
+            # Yc_dense basis below — the O(A²) distance work happens once
+            # explicitly rather than via XLA CSE
+            dgd = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
             nl = graph.neighbor_list(
-                batch.pos, batch.node_mask, self.cutoff, k_ax
+                batch.pos, batch.node_mask, self.cutoff, k_ax, dense=dgd
             )
             idx, adj = nl.idx, nl.mask  # adj := [B,A,K] slot-valid mask
             dist, unit = nl.dist, nl.unit
@@ -337,7 +341,7 @@ class DimeNetPP(nn.Module):
         if self.compact:
             # dense Yc for the triplet-closing einsum (InteractionPPBlock);
             # zeroed outside the cutoff so padded-atom units never leak.
-            dgd = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff)
+            # `dgd` is the same dense graph the neighbor list was built from.
             unit_d = jnp.where(
                 dgd.adj[..., None],
                 dgd.diff / jnp.maximum(dgd.dist, 1e-10)[..., None], 0.0,

@@ -79,7 +79,16 @@ def dense_graph(pos: jnp.ndarray, node_mask: jnp.ndarray, cutoff: float) -> Dens
 def dense_topk_mask(dist: jnp.ndarray, adj: jnp.ndarray, k: int) -> jnp.ndarray:
     """Restrict a dense adjacency to each row's k nearest neighbors (the
     dense-formulation analog of the strict top-k neighbor cap,
-    painn_pyg/utils.py:223-317)."""
+    painn_pyg/utils.py:223-317).
+
+    Tie caveat: every edge within 1e-7 of the k-th distance is kept, so
+    exactly degenerate geometries (e.g. symmetric molecules where several
+    neighbors sit at the identical k-th distance) can keep MORE than k
+    edges per row, whereas `neighbor_list`'s `lax.top_k` keeps exactly k
+    (breaking ties by index). The two layouts therefore agree only on
+    tie-free geometries; checkpoints trained with one layout should be
+    evaluated with the same layout if the data contains exact ties.
+    """
     a = dist.shape[-1]
     if k >= a:
         return adj
@@ -93,14 +102,20 @@ def neighbor_list(
     node_mask: jnp.ndarray,
     cutoff: float,
     max_neighbors: int,
+    dense: Optional[DenseGraph] = None,
 ) -> NeighborList:
     """K-nearest in-cutoff neighbors per atom (strict top-k by distance).
 
     Reference parity: painn_pyg/utils.py:223-317 keeps, per atom, the
     `max_neighbors` *closest* neighbors when the cutoff yields more — here
     that is a single `lax.top_k` over the masked distance row.
+
+    `dense`: pass a precomputed `dense_graph(pos, node_mask, cutoff)` when
+    the caller also needs the all-pairs view (e.g. DimeNet++'s compact
+    layout), so the O(A²) distance work is done once explicitly instead of
+    relying on XLA CSE to dedupe it.
     """
-    g = dense_graph(pos, node_mask, cutoff)
+    g = dense if dense is not None else dense_graph(pos, node_mask, cutoff)
     k = min(max_neighbors, pos.shape[1])
     # top_k of negative distance = k smallest; masked pairs hold _BIG.
     neg = jnp.where(g.adj, -g.dist, -_BIG)
