@@ -44,7 +44,7 @@ from flax import linen as nn
 
 from nabladft_tpu.data.batch import MolBatch
 from nabladft_tpu.models.base import ModelOutput, register_model
-from nabladft_tpu.ops import graph, radial
+from nabladft_tpu.ops import graph, radial, so3
 from nabladft_tpu.ops.spherical import legendre_polynomials
 
 
@@ -116,38 +116,89 @@ def res_stack(x, n, units, name_prefix, dtype=jnp.float32):
 
 class TripletInteraction(nn.Module):
     """Edge←edge messages over angles at the shared atom
-    (reference layers/interaction_block.py TripletInteraction), with the
-    efficient-bilinear contraction order (layers/efficient.py): the basis
-    is contracted against gathered messages first, so the per-triplet
-    basis-projection tensor never materializes."""
+    (reference layers/interaction_block.py TripletInteraction).
+
+    Production path: the Legendre-addition-theorem factorization (the same
+    trick as models/dimenetpp.py) —
+
+      agg[b,i,n,e] = Σ_m Σ_{s,r} P_s(cosθ_{inm})·rad[b,j,m,r]·w[sr,e]·x[b,j,m,e]
+                   = Σ_{s,μ} c_s·Y_sμ(û_ij)·V[b,j,(s,μ),e] − backedge_corr
+
+    with V[b,j,(s,μ),e] = Σ_m Y_sμ(û_jm)·(Σ_r rad·w)[b,j,m,s,e]·x[b,j,m,e]
+    per sender node j. The [B,A,K,M,S] circular-basis lattice (620 MB at
+    bench shape, the dominant HBM term of the old step) never exists —
+    everything is pair-shaped matmuls; the k == i exclusion (trip_mask's
+    only non-factorizable term, P_s(1) = 1) is an exact reverse-edge
+    correction like DimeNet++'s.
+
+    The explicit-lattice path is kept ONLY for ScaleFactor fitting
+    (mutable "scale_stats"), so the fitted statistics keep the reference's
+    semantics (variance of the cbf tensor / of the gathered x_kj)."""
 
     emb_edge: int
     emb_in: int
     emb_out: int
     emb_cbf: int
+    num_spherical: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, m, nl, cbf, trip_mask):
-        # m: [B,A,K,E]; cbf: [B,A,K,M,S] premasked; trip_mask: [B,A,K,M]
+    def __call__(self, m, nl, trip):
         dt = self.dtype
+        sq, rc = self.num_spherical, self.emb_cbf
         x = jax.nn.silu(nn.Dense(self.emb_in, use_bias=False, dtype=dt, name="dense_db")(m))
-        x_kj = graph.gather_neighbor_edges(x, nl.idx)  # [B,A,K,M,Ein]
-        s = cbf.shape[-1]
         w = self.param(
-            "mlp_cbf", nn.initializers.he_normal(), (s, self.emb_in)
+            "mlp_cbf", nn.initializers.he_normal(), (sq * rc, self.emb_in)
         ).astype(dt)
-        cbf_m = jnp.where(trip_mask[..., None], cbf, 0.0).astype(dt)
-        # contraction order matters for HBM traffic: projecting the basis
-        # through the weight FIRST keeps the largest intermediate at
-        # [B,A,K,M,Ein] (the same size as the gathered messages) instead of
-        # the [B,A,K,S,Ein] tensor the (messages x basis) order produces
-        # (S = emb_cbf*num_spherical = 112 >> M at reference capacity, a
-        # ~3.8x larger tensor, and the dominant HBM term of the old step);
-        # the MXU contraction depth also rises from M=30 to S=112.
-        g = jnp.einsum("bikms,se->bikme", cbf_m, w)
-        agg = jnp.einsum("bikme,bikme->bike", g, x_kj)
-        agg = _scale(self, "scale_cbf_sum", agg, ref=x_kj)
+
+        if "cbf" in trip:
+            # scale-fitting branch: explicit triplet lattice, records the
+            # reference's variance statistics (cbf already carries the
+            # fitted scale_cbf_basis and trip_mask premasking).
+            x_kj = graph.gather_neighbor_edges(x, nl.idx)  # [B,A,K,M,Ein]
+            cbf_m = jnp.where(trip["trip_mask"][..., None], trip["cbf"], 0.0).astype(dt)
+            g = jnp.einsum("bikms,se->bikme", cbf_m, w)
+            agg = jnp.einsum("bikme,bikme->bike", g, x_kj)
+            agg = _scale(self, "scale_cbf_sum", agg, ref=x_kj)
+        else:
+            x = jnp.where(nl.mask[..., None], x, 0.0)
+            w3 = w.reshape(sq, rc, self.emb_in)
+            # per-(j,m) radial projection through the basis weight, then the
+            # per-sender SH reduction V (block-diagonal in l)
+            d_se = jnp.einsum("bakr,sre->bakse", trip["rad_e"], w3)
+            ex = d_se * x[:, :, :, None, :]  # [B,A,K,S,Ein]
+            y_e = trip["y_e"]
+            v = jnp.concatenate(
+                [
+                    jnp.einsum(
+                        "bakm,bake->bame",
+                        y_e[..., l * l : (l + 1) * (l + 1)],
+                        ex[..., l, :],
+                    )
+                    for l in range(sq)
+                ],
+                axis=2,
+            )  # [B,A,(S)²,Ein]
+            # close the triplet over the dense j axis (cheap), then gather
+            # the K needed rows — the [B,A,K,(S)²,Ein] gather never exists
+            agg_d = jnp.einsum("bijq,bjqe->bije", trip["yc_d"], v)
+            agg = jnp.take_along_axis(agg_d, nl.idx[..., None], axis=2)
+            # exact k == i back-triplet removal: P_s(1) = 1 for every s, the
+            # back-edge distance is symmetric, x at the reverse edge comes
+            # from one flat gather (rev_valid zeroes slots whose reverse
+            # edge fell out of j's strict top-k — those triplets don't
+            # exist in the explicit lattice either)
+            cw = jnp.einsum("bakr,re->bake", trip["rad_e"], w3.sum(0))
+            bsz, a_ax, k_ax, e_ax = x.shape
+            x_rev = jnp.take_along_axis(
+                x.reshape(bsz, a_ax * k_ax, e_ax),
+                trip["rev_flat"].reshape(bsz, a_ax * k_ax)[..., None],
+                axis=1,
+            ).reshape(bsz, a_ax, k_ax, e_ax)
+            x_rev = x_rev * trip["rev_valid"][..., None].astype(dt)
+            agg = (agg - cw * x_rev) * trip["s_basis"].astype(dt)
+            agg = jnp.where(nl.mask[..., None], agg, 0.0)
+            agg = _scale(self, "scale_cbf_sum", agg)
         x = jax.nn.silu(nn.Dense(self.emb_out, use_bias=False, dtype=dt, name="down")(agg))
         x = jax.nn.silu(nn.Dense(self.emb_edge, use_bias=False, dtype=dt, name="up")(x))
         return x
@@ -337,23 +388,69 @@ class GemNetOC(nn.Module):
         # (gemnet-oc.yaml:32-35), so the qint/aeaint graphs are prefixes of
         # the main strict-top-k neighbor list (top_k sorts by distance) —
         # one neighbor list serves all interaction graphs.
-        nl = graph.neighbor_list(batch.pos, batch.node_mask, self.cutoff, self.max_neighbors)
         dg = graph.dense_graph(batch.pos, batch.node_mask, self.cutoff_aint)
+        nl = graph.neighbor_list(
+            batch.pos, batch.node_mask, self.cutoff, self.max_neighbors,
+            dense=dg if self.cutoff == self.cutoff_aint else None,
+        )
 
         rbf = jnp.where(nl.mask[..., None], self._rbf(nl.dist), 0.0).astype(cdt)
         rbf_dense = jnp.where(
             dg.adj[..., None], self._rbf(jnp.where(dg.adj, dg.dist, 0.0)), 0.0
         ).astype(cdt)
 
-        # circular basis: triplets k→j→i on the main graph
-        cos_t, trip_mask = graph.triplet_angles(nl)
-        leg_t = legendre_polynomials(cos_t, self.num_spherical - 1)
-        d_kj = graph.gather_nodes(nl.dist, nl.idx)
-        rad_t = jnp.where(
-            trip_mask[..., None], self._rbf(d_kj)[..., : self.emb_size_cbf], 0.0
-        )
-        cbf = jnp.einsum("bikms,bikmr->bikmsr", leg_t, rad_t)
-        cbf = _scale(self, "scale_cbf_basis", cbf.reshape(*cbf.shape[:-2], -1)).astype(cdt)
+        # circular basis for triplets k→j→i. Production path: factorized
+        # pair features (see TripletInteraction docstring); explicit
+        # [B,A,K,M,S] lattice only while fitting ScaleFactors.
+        sq, rc = self.num_spherical, self.emb_size_cbf
+        if self.is_mutable_collection("scale_stats"):
+            cos_t, trip_mask = graph.triplet_angles(nl)
+            leg_t = legendre_polynomials(cos_t, sq - 1)
+            d_kj = graph.gather_nodes(nl.dist, nl.idx)
+            rad_t = jnp.where(trip_mask[..., None], self._rbf(d_kj)[..., :rc], 0.0)
+            cbf = jnp.einsum("bikms,bikmr->bikmsr", leg_t, rad_t)
+            cbf = _scale(self, "scale_cbf_basis", cbf.reshape(*cbf.shape[:-2], -1))
+            trip = {"cbf": cbf.astype(cdt), "trip_mask": trip_mask}
+        else:
+            # P_s(û_a·û_b) = (4π/(2s+1))·Σ_μ Y_sμ(û_a)·Y_sμ(û_b) for
+            # orthonormal real harmonics; the i-side unit is û_ji = −û_ij,
+            # so the dense factor carries the (−1)^s parity as well.
+            c_full = np.concatenate(
+                [
+                    np.full(2 * l + 1, ((-1.0) ** l) * 4.0 * np.pi / (2 * l + 1))
+                    for l in range(sq)
+                ]
+            ).astype(np.float32)
+            y_e = so3.real_sph_harm(nl.unit, sq - 1, normalized=True)
+            y_e = jnp.where(nl.mask[..., None], y_e, 0.0).astype(cdt)
+            rad_e = jnp.where(
+                nl.mask[..., None], self._rbf(nl.dist)[..., :rc], 0.0
+            ).astype(cdt)
+            unit_d = jnp.where(
+                dg.adj[..., None],
+                dg.diff / jnp.maximum(dg.dist, 1e-9)[..., None], 0.0,
+            )
+            y_d = so3.real_sph_harm(unit_d, sq - 1, normalized=True)
+            yc_d = (
+                jnp.where(dg.adj[..., None], y_d, 0.0) * jnp.asarray(c_full)
+            ).astype(cdt)
+            # reverse-edge map for the k == i back-triplet correction
+            k_ax = nl.idx.shape[2]
+            idx_g = graph.gather_nodes(nl.idx, nl.idx)  # [B,A,K,K]
+            mask_g = graph.gather_nodes(nl.mask, nl.idx)
+            eq = (
+                (idx_g == jnp.arange(a_dim)[None, :, None, None])
+                & mask_g & nl.mask[..., None]
+            )
+            s_basis = self.variable(
+                "scales", "scale_cbf_basis", lambda: jnp.ones((), jnp.float32)
+            ).value
+            trip = {
+                "y_e": y_e, "rad_e": rad_e, "yc_d": yc_d,
+                "rev_valid": eq.any(-1),
+                "rev_flat": nl.idx * k_ax + jnp.argmax(eq, axis=-1).astype(jnp.int32),
+                "s_basis": s_basis,
+            }
 
         # quadruplet geometry: the reference c–a–b–d star around each main
         # edge (j→i): c ∈ N(i), d ∈ N(j) (gemnet_oc.py:597-663)
@@ -418,8 +515,8 @@ class GemNetOC(nn.Module):
         for b in range(self.num_blocks):
             m_new = TripletInteraction(
                 self.emb_size_edge, self.emb_size_trip_in, self.emb_size_trip_out,
-                self.emb_size_cbf, dtype=cdt, name=f"trip_{b}",
-            )(m, nl, cbf, trip_mask)
+                self.emb_size_cbf, self.num_spherical, dtype=cdt, name=f"trip_{b}",
+            )(m, nl, trip)
             contributions = [m_new]
             if self.quad_interaction:
                 contributions.append(
