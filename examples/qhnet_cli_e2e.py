@@ -119,7 +119,8 @@ def main() -> int:
         overrides += [
             "model.kwargs.hidden=16",
             "model.kwargs.bottle_hidden=8",
-            "model.kwargs.num_layers=2",
+            "model.kwargs.num_layers=3",
+            "model.kwargs.start_layer=1",
             "model.kwargs.rbf_dim=8",
         ]
     argv = ["--config", "configs/qhnet.yaml", *overrides]
