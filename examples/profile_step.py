@@ -59,7 +59,8 @@ def _bench_pieces(name):
     return spec, batch
 
 
-def _time_step(name, spec, batch, kwargs_override=None, n=8, repeats=3):
+def _time_step(name, spec, batch, kwargs_override=None, n=8, repeats=3,
+               energy_only=False):
     from nabladft_tpu.models import create_model
     from nabladft_tpu.train import Trainer, TrainerConfig
 
@@ -67,10 +68,12 @@ def _time_step(name, spec, batch, kwargs_override=None, n=8, repeats=3):
     if kwargs_override:
         kwargs.update(kwargs_override)
     model = create_model(name, **kwargs)
+    specs = ({"energy": "l1"} if energy_only
+             else {"energy": "l1", "forces": "l2norm"})
     cfg = TrainerConfig(
         schedule="constant", lr=1e-4, log_every_n_steps=10**9,
-        loss_specs={"energy": "l1", "forces": "l2norm"},
-        loss_coefs={"energy": 1.0, "forces": 1.0},
+        loss_specs=specs,
+        loss_coefs={k: 1.0 for k in specs},
         force_grads=spec.get("force_grads", "direct"),
     )
     trainer = Trainer(model, cfg)
@@ -87,6 +90,17 @@ def _time_step(name, spec, batch, kwargs_override=None, n=8, repeats=3):
         float(metrics["train/total"])
         times.append((time.perf_counter() - t0) / n)
     return float(np.median(times))
+
+
+def _record(out, key, thunk):
+    """Run one ablation variant; never die (a single variant's OOM must
+    not lose the others' timings — the r4 profile crash cost a full TPU
+    profile run), and print each result as it lands."""
+    try:
+        out[key] = thunk()
+    except Exception as e:  # noqa: BLE001 — report and continue
+        out[key] = "error: " + " ".join(str(e).split())[:200]
+    print(json.dumps({key: out[key]}), flush=True)
 
 
 @contextlib.contextmanager
@@ -173,8 +187,13 @@ def profile_dimenetpp():
 
     spec, batch = _bench_pieces("dimenetpp")
     out = {}
-    out["full_6"] = _time_step("dimenetpp", spec, batch)
-    out["blocks_3"] = _time_step("dimenetpp", spec, batch, {"num_blocks": 3})
+    _record(out, "full_6", lambda: _time_step("dimenetpp", spec, batch))
+    _record(out, "blocks_3",
+            lambda: _time_step("dimenetpp", spec, batch, {"num_blocks": 3}))
+    # energy-only loss: isolates the cost of the force-MAE second-order
+    # backward (reverse-over-reverse) vs the first-order energy path
+    _record(out, "energy_only_loss",
+            lambda: _time_step("dimenetpp", spec, batch, energy_only=True))
 
     # knockout the triplet aggregation (addition-theorem einsums): replace
     # agg with a plain linear image of x_kj so shapes/params are unchanged
@@ -192,7 +211,8 @@ def profile_dimenetpp():
         return inter_orig(self, mm, rbf, zero, adj)
 
     with _patched(m.InteractionPPBlock, "__call__", no_triplet):
-        out["zero_basis_feats"] = _time_step("dimenetpp", spec, batch)
+        _record(out, "zero_basis_feats",
+                lambda: _time_step("dimenetpp", spec, batch))
 
     res_orig = m.ResidualLayer.__call__
 
@@ -200,12 +220,19 @@ def profile_dimenetpp():
         return res_orig(self, x) * 0.0 + x
 
     with _patched(m.ResidualLayer, "__call__", res_id):
-        out["residuals_passthrough"] = _time_step("dimenetpp", spec, batch)
+        _record(out, "residuals_passthrough",
+                lambda: _time_step("dimenetpp", spec, batch))
 
     import bench
 
     batch64 = bench.make_batch(np.random.default_rng(0), batch_size=64)
-    out["batch_64"] = _time_step("dimenetpp", {**spec, "batch": 64}, batch64)
+    # B=64 with remat=False needs 16.2 GB HBM (r4 profile OOM) — remat
+    # trades recompute for the double-reverse temps; worthwhile iff the
+    # B=32 step is bandwidth- not FLOP-bound
+    _record(out, "batch_64_remat", lambda: _time_step(
+        "dimenetpp", {**spec, "batch": 64}, batch64, {"remat": True}))
+    _record(out, "batch_32_remat",
+            lambda: _time_step("dimenetpp", spec, batch, {"remat": True}))
     return out
 
 
