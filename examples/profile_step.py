@@ -118,9 +118,9 @@ def profile_equiformer_v2():
 
     spec, batch = _bench_pieces("equiformer_v2")
     out = {}
-    out["full_12"] = _time_step("equiformer_v2", spec, batch)
-    out["layers_6"] = _time_step("equiformer_v2", spec, batch,
-                                 {"num_layers": 6})
+    _record(out, "full_12", lambda: _time_step("equiformer_v2", spec, batch))
+    _record(out, "layers_6", lambda: _time_step(
+        "equiformer_v2", spec, batch, {"num_layers": 6}))
 
     # knockouts must spare the model heads: energy_ffn IS a GridFFN and
     # force_block IS a SO2GraphAttention (equiformer_v2.py:489,495-506) —
@@ -135,7 +135,8 @@ def profile_equiformer_v2():
         return x * 0.0
 
     with _patched(m.GridFFN, "__call__", ffn_zero):
-        out["no_ffn"] = _time_step("equiformer_v2", spec, batch)
+        _record(out, "no_ffn",
+                lambda: _time_step("equiformer_v2", spec, batch))
 
     attn_orig = {
         m.PallasSO2GraphAttention: m.PallasSO2GraphAttention.__call__,
@@ -149,36 +150,41 @@ def profile_equiformer_v2():
 
     with _patched(m.PallasSO2GraphAttention, "__call__", attn_zero), \
          _patched(m.SO2GraphAttention, "__call__", attn_zero):
-        out["no_attn"] = _time_step("equiformer_v2", spec, batch)
+        _record(out, "no_attn",
+                lambda: _time_step("equiformer_v2", spec, batch))
     with _patched(m.GridFFN, "__call__", ffn_zero), \
          _patched(m.PallasSO2GraphAttention, "__call__", attn_zero), \
          _patched(m.SO2GraphAttention, "__call__", attn_zero):
-        out["norms_and_heads_only"] = _time_step("equiformer_v2", spec, batch)
+        _record(out, "norms_and_heads_only",
+                lambda: _time_step("equiformer_v2", spec, batch))
     return out
 
 
 def profile_escn():
     spec, batch = _bench_pieces("escn")
     out = {}
-    out["full_8"] = _time_step("escn", spec, batch)
-    out["layers_4"] = _time_step("escn", spec, batch, {"num_layers": 4})
+    _record(out, "full_8", lambda: _time_step("escn", spec, batch))
+    _record(out, "layers_4",
+            lambda: _time_step("escn", spec, batch, {"num_layers": 4}))
     from nabladft_tpu.models import escn as m
 
     def tail_zero(x, x_message, to_g, from_g, c, dtype):
         return x_message * 0.0
 
     with _patched(m, "_sphere_mlp_tail", tail_zero):
-        out["no_sphere_mlp"] = _time_step("escn", spec, batch)
+        _record(out, "no_sphere_mlp",
+                lambda: _time_step("escn", spec, batch))
     return out
 
 
 def profile_gemnet_oc():
     spec, batch = _bench_pieces("gemnet_oc")
     out = {}
-    out["full_4"] = _time_step("gemnet_oc", spec, batch)
-    out["blocks_2"] = _time_step("gemnet_oc", spec, batch, {"num_blocks": 2})
-    out["no_qint"] = _time_step("gemnet_oc", spec, batch,
-                                {"quad_interaction": False})
+    _record(out, "full_4", lambda: _time_step("gemnet_oc", spec, batch))
+    _record(out, "blocks_2", lambda: _time_step(
+        "gemnet_oc", spec, batch, {"num_blocks": 2}))
+    _record(out, "no_qint", lambda: _time_step(
+        "gemnet_oc", spec, batch, {"quad_interaction": False}))
     return out
 
 

@@ -42,6 +42,10 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run sweep_dimenetpp 2700 python examples/sweep_dimenetpp.py
 
+# perf-frontier profiles (eSCN 1.14x, EqV2 1.04x): where does the step go?
+run profile_escn_r4h 1500 python examples/profile_step.py --model escn
+run profile_eqv2_r4h 1800 python examples/profile_step.py --model equiformer_v2
+
 run qhnet_precision_r4h 6000 python examples/hamiltonian_precision.py \
     --model qhnet --state outputs/hp_qhnet_state.msgpack \
     --out results/acc_qhnet_r4.json --schedule cosine --max-steps 20000 \
