@@ -69,6 +69,27 @@ class ResidualLayer(nn.Module):
         return x + h
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an nn.Dense (same tree: {kernel, bias}) without the
+    matmul — lets sibling Denses that read the same input execute as ONE
+    double-width GEMM (halves reads of the shared operand in forward and
+    every derivative pass) while staying checkpoint/converter-compatible
+    with the unfused layout."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        if not self.use_bias:
+            return k, None
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class InteractionPPBlock(nn.Module):
     hidden: int
     int_emb_size: int
@@ -89,12 +110,27 @@ class InteractionPPBlock(nn.Module):
         Legendre-addition-theorem factorization (see DimeNetPP.__call__)."""
         dt = self.dtype
         L1, R = self.num_spherical, self.num_radial
-        # explicit names mirror torch_geometric InteractionPPBlock fields
-        x_ji = swish(nn.Dense(self.hidden, dtype=dt, name="lin_ji")(m))
-        x_kj = swish(nn.Dense(self.hidden, dtype=dt, name="lin_kj")(m))
-        rbf_w = nn.Dense(self.hidden, use_bias=False, dtype=dt, name="rbf2")(
-            nn.Dense(self.basis_emb_size, use_bias=False, dtype=dt, name="rbf1")(rbf)
+        # explicit names mirror torch_geometric InteractionPPBlock fields.
+        # lin_ji/lin_kj both read m: run them as one [H, 2H] GEMM (the step
+        # is at the chip's delivered GEMM roofline — examples/
+        # microbench_dimenetpp.py — so saving a full read of m per pass is
+        # the remaining lever, not FLOP reassociation).
+        k_ji, b_ji = _DenseParams(self.hidden, name="lin_ji")(m.shape[-1])
+        k_kj, b_kj = _DenseParams(self.hidden, name="lin_kj")(m.shape[-1])
+        w_pair = jnp.concatenate([k_ji, k_kj], axis=1).astype(dt)
+        b_pair = jnp.concatenate([b_ji, b_kj]).astype(dt)
+        x_pair = swish(m @ w_pair + b_pair)
+        x_ji = x_pair[..., : self.hidden]
+        x_kj = x_pair[..., self.hidden :]
+        # rbf1/rbf2 are both bias-free, so they collapse onto the basis
+        # index exactly like w12 below: one [R, H] GEMM at call time.
+        kr1, _ = _DenseParams(self.basis_emb_size, use_bias=False, name="rbf1")(
+            rbf.shape[-1]
         )
+        kr2, _ = _DenseParams(self.hidden, use_bias=False, name="rbf2")(
+            self.basis_emb_size
+        )
+        rbf_w = rbf @ (kr1 @ kr2).astype(dt)
         x_kj = x_kj * rbf_w
         x_kj = swish(nn.Dense(self.int_emb_size, use_bias=False, dtype=dt,
                               name="down")(x_kj))
