@@ -91,6 +91,42 @@ def measured_peak_flops(dtype="bfloat16", n: int = 8192, iters: int = 8) -> floa
     return 2.0 * n**3 / dt
 
 
+def compiled_bytes(jitted_fn, *args) -> Optional[float]:
+    """HBM bytes accessed by one invocation, from XLA cost analysis of the
+    OPTIMIZED (post-fusion) HLO — the roofline bandwidth term."""
+    try:
+        compiled = jitted_fn.lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        return None
+
+
+def measured_hbm_bandwidth(n_bytes: int = 1 << 29, iters: int = 8) -> float:
+    """Empirical HBM read+write bandwidth of the attached device (B/s),
+    via a fused elementwise map over an n_bytes array (1 read + 1 write
+    per element). Same rationale as measured_peak_flops: the tunneled
+    device delivers a fluctuating fraction of a physical chip, so
+    roofline math must use the measured ceiling of the same process."""
+    import time
+
+    import jax.numpy as jnp
+
+    n = n_bytes // 4
+    x = jnp.ones((n,), jnp.float32)
+    f = jax.jit(lambda a: a * 1.000001 + 0.5)
+    f(x).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(iters):
+        y = f(y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return 2.0 * n_bytes / dt
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a TensorBoard-viewable profiler trace of the enclosed block."""
