@@ -7,17 +7,36 @@ download with ETag validation, and restore weights into a framework model.
 
 Published checkpoints are PyTorch state dicts, so restoring them here means
 a structural conversion. Converters are registered per family; they map
-torch parameter names/layouts onto the flax parameter tree. Covered:
-SchNet, PaiNN, DimeNet++, Graphormer3D, eSCN, EquiformerV2 (the eSCN and
-EqV2 conversions are verbatim — our table-free real-SH basis proves to be
-exactly e3nn's under a fixed axis relabel, see convert_escn; EqV2
-checkpoints additionally need the model built with `m_share_rad=False`,
-the published use_m_share_rad=False parameterization — see
-convert_equiformer_v2 and tests/models/test_pretrained_eqv2.py). Families
-whose TPU architecture is a re-design rather than a re-parameterization
-(QHNet/PhiSNet fused tensor products, GemNet-OC's collapsed residual
-topology) are better re-trained — `convertible_families()` reports which
-is which.
+torch parameter names/layouts onto the flax parameter tree. Covered (7/9):
+SchNet, PaiNN, DimeNet++, Graphormer3D, eSCN, EquiformerV2, QHNet (the
+eSCN/EqV2/QHNet conversions are verbatim — our table-free real-SH basis
+proves to be exactly e3nn's under a fixed axis relabel, see convert_escn
+and convert_qhnet; EqV2 checkpoints need `m_share_rad=False`, QHNet
+checkpoints `ref_compat=True`).
+
+Convertibility verdict on the remaining two families:
+
+* GemNet-OC — NOT convertible without rebuilding the reference module
+  graph. The reference (gemnet/gemnet_oc.py, 4891 LoC) threads ~40
+  ResidualLayer stacks and shared-basis MLPs whose parameters have no
+  counterpart in our 476-LoC factored design; since round 4 the triplet
+  contraction is additionally re-parameterized (the Legendre
+  addition-theorem pair factorization replaced the explicit cbf lattice,
+  models/gemnet_oc.py), so even the basis projections no longer map
+  weight-for-weight. A converter would amount to re-implementing the
+  reference architecture alongside ours. Re-train instead (the trainer
+  fits its frozen ScaleFactors from data at fit start).
+
+* PhiSNet — NOT convertible for the same reason: our 278-LoC rebuild
+  keeps the reference's data flow (env-independent overlap branch,
+  module-accumulated output features) but re-designs the modules
+  themselves — compact scalar-gated ResidualStacks and QHNet's shared CG
+  Expansion replace the reference's per-L SphericalLinear /
+  modular_block / pair_mixing residual towers
+  (phisnet/nn/neural_network.py:222-435, nn/modules/) — so the
+  reference's per-block weights have no shape-compatible destination.
+  Re-train (results/acc_phisnet.json shows the rebuild reaching the
+  published tiny-split H-MAE, 1.58e-4 <= 1.9e-4 Eh).
 
 Note torch Linear stores weight as [out, in]; flax Dense as [in, out].
 """
@@ -554,6 +573,291 @@ def convert_equiformer_v2(state: Dict[str, np.ndarray], params: Dict,
     _fill_ref_ffn(p, "energy_block", "energy_block", state)
     _fill_eqv2_attention(p, "force_block", "force_block", state, model)
     return params
+
+
+def _e3nn_linear_fill(p, ours: str, torch_pfx: str, state, c_in: int,
+                      c_out: int, n_l: int = 5) -> None:
+    """e3nn o3.Linear (uniform multiplicity per l) -> IrrepsLinear.
+
+    Flat weight = per-l [c_in, c_out] blocks in l order; forward divides by
+    sqrt(fan_in) (path_normalization="element"), folded into the kernel.
+    Flat bias covers the 0e outputs only."""
+    w = state[f"{torch_pfx}.weight"].reshape(n_l, c_in, c_out)
+    for l in range(n_l):
+        _fill(p, f"{ours}/l{l}/kernel", w[l] / np.sqrt(c_in))
+    _fill(p, f"{ours}/l0/bias", state[f"{torch_pfx}.bias"])
+
+
+def _norm_gate_fill(p, ours: str, torch_pfx: str, state) -> None:
+    """Reference NormGate.fc (plain Linear+SiLU+Linear, layers.py:123-148)
+    -> our NormGate.gate_mlp (MLP)."""
+    _fill(p, f"{ours}/gate_mlp/Dense_0/kernel", _t(state[f"{torch_pfx}.fc.0.weight"]))
+    _fill(p, f"{ours}/gate_mlp/Dense_0/bias", state[f"{torch_pfx}.fc.0.bias"])
+    _fill(p, f"{ours}/gate_mlp/Dense_1/kernel", _t(state[f"{torch_pfx}.fc.2.weight"]))
+    _fill(p, f"{ours}/gate_mlp/Dense_1/bias", state[f"{torch_pfx}.fc.2.bias"])
+
+
+def _qhnet_s0_rows(w_ref_in: np.ndarray, c: int, n_l: int, layer0: bool) -> np.ndarray:
+    """Map the reference's invariant-input layout onto ours.
+
+    Reference ConvLayer s0 = [dst_scalars | dst_scalars | ip_{l>0}]
+    (layers.py:239-259 — BOTH scalar blocks are edge_dst); ours is
+    [i(=dst) | j(=src) | ip_{l=0} | ip_{l>0}]. So our dst rows take the SUM
+    of the reference's two scalar blocks, our src and ip_l0 rows are zero.
+    With `layer0` the reference input is just the two scalar blocks.
+    For PairNet (dst|src|ip_{l>0}, distinct blocks) use _qhnet_s0_rows_pair."""
+    out = np.zeros(((n_l + 2) * c, w_ref_in.shape[1]), w_ref_in.dtype)
+    out[0:c] = w_ref_in[0:c] + w_ref_in[c : 2 * c]
+    if not layer0:
+        out[3 * c :] = w_ref_in[2 * c :]
+    return out
+
+
+def _qhnet_s0_rows_pair(w_ref_in: np.ndarray, c: int, n_l: int) -> np.ndarray:
+    out = np.zeros(((n_l + 2) * c, w_ref_in.shape[1]), w_ref_in.dtype)
+    out[0:c] = w_ref_in[0:c]          # dst scalars
+    out[c : 2 * c] = w_ref_in[c : 2 * c]  # src scalars
+    out[3 * c :] = w_ref_in[2 * c :]  # ip l>=1 (ours keeps ip l=0 rows: zero)
+    return out
+
+
+@register_converter("qhnet")
+def convert_qhnet(state: Dict[str, np.ndarray], params: Dict, model=None) -> Dict:
+    """Reference QHNet (qhnet/qhnet.py:24-343, layers.py) -> models.qhnet.QHNet
+    built with ``ref_compat=True``.
+
+    The conversion is exact (no architecture approximation) because of one
+    measured identity: our recursion real-SH basis equals e3nn's evaluated
+    at the cyclically permuted argument — Y_e3nn(v[[1,2,0]]) == Y_ours(v)
+    for every l — and the reference feeds exactly that permutation to
+    o3.spherical_harmonics (qhnet.py:267). Reference features therefore
+    live in OUR basis verbatim; every e3nn wigner-3j is elementwise
+    proportional to our so3.real_cg (ops/e3nn_compat.w3j_cg_ratio), and
+    conversion reduces to name/layout mapping plus per-path scalar folds:
+
+      * e3nn TensorProduct normalization x reference path weights
+        (e3nn_compat.qhnet_conv_tp / qhnet_uuu_tp coefficients),
+      * the w3j/real_cg ratio mu = +-1/sqrt(2*l3+1) per path,
+      * sqrt(2*l2+1) per conv path (reference SH are "component"-normalized,
+        ours Y_l0(z)=1) and (-1)^l2 (our dense-graph diff is pos_j - pos_i,
+        the reference's edge_vec is pos_dst - pos_src = the negative),
+      * a (l1,l2)-swap path permutation with sign sigma = (-1)^(l1+l2+l3)
+        for PairNet (reference tp_node_pair(node[src], node[dst]); ours
+        contracts (dst, src)),
+      * e3nn FullyConnectedNet folds (W/sqrt(fan_in) per layer, no biases,
+        normalize2mom-scaled ShiftedSoftPlus) into our plain Dense MLPs,
+      * our exponential-Bernstein basis index runs REVERSED vs the
+        reference's (ours b_k ~ e^{kx}, reference ~ e^{(K-1-k)x}): the rbf
+        MLP input rows flip,
+      * Expansion weight columns permuted from the reference's
+        (l_in, lo1, lo2) instruction order (layers.py:648-655) to our
+        (lo1, lo2, l_in) loop order, scaled by mu (and mu/cb for biases:
+        the reference divides bias by mul_in inside the w3j contraction,
+        ours adds bias after the /cb).
+
+    Requires ``create_model('qhnet', ref_compat=True, ...)`` — the flag
+    reproduces the reference residual topology (no layer-0 skip, outer
+    skip for layers >= 1) and feeds fc_ii/fc_ij from the static embedding.
+
+    Golden-tested against a functional fp64 torch reference QHNet
+    (tests/models/test_pretrained_qhnet.py), including Expansion weights
+    and the per-element orbital masks.
+    """
+    from nabladft_tpu.models.qhnet import (
+        LMAX, OrbitalLayout, _tp_paths, expansion_weight_counts,
+    )
+    from nabladft_tpu.ops import e3nn_compat as ec
+
+    if model is None or not getattr(model, "ref_compat", False):
+        raise ValueError(
+            "qhnet checkpoints need the reference-compatible wiring: "
+            "create_model('qhnet', ref_compat=True, ...)"
+        )
+    if not any(k.startswith("node_embedding") for k in state):
+        for pre in ("net.", "model.", "module."):
+            if any(k == pre + "node_embedding.weight" for k in state):
+                state = {k[len(pre):]: v for k, v in state.items() if k.startswith(pre)}
+                break
+    p = params["params"]
+    c = model.hidden
+    cb = model.bottle_hidden
+    rbf_dim = model.rbf_dim
+    n_l = LMAX + 1
+    ours_paths = list(_tp_paths(LMAX, LMAX, LMAX))
+    c_ssp = ec.ssp_norm_const()
+
+    _fill_rows(p, "node_embedding/embedding", state["node_embedding.weight"])
+    _fill(p, "rbf/gamma", state["distance_expansion._alpha"])
+
+    def fcn2(prefix, hidden, col_scale):
+        """e3nn FullyConnectedNet [d0, hidden, numel] -> (k0, k1) for our
+        GateMLPSplit: layer weights are [h_in, h_out], forward divides by
+        sqrt(h_in), hidden activation is normalize2mom(ssp); rbf input
+        rows are flipped (basis index reversal). col_scale: [n_ref_paths]
+        per-path factors; returns k1 with our 65-path column layout."""
+        w0 = state[f"{prefix}.0.weight"][::-1] / np.sqrt(rbf_dim)
+        w1 = state[f"{prefix}.1.weight"] * (c_ssp / np.sqrt(hidden))
+        k1 = np.zeros((hidden, len(ours_paths) * c), w1.dtype)
+        for p_ref, (dst_block, scale) in enumerate(col_scale):
+            k1[:, dst_block * c : (dst_block + 1) * c] = (
+                w1[:, p_ref * c : (p_ref + 1) * c] * scale
+            )
+        return w0, k1
+
+    for i in range(model.num_layers):
+        t = f"conv_{i}"
+        r = f"e3_gnn_layer.{i}.conv"
+        spec = ec.qhnet_conv_tp(LMAX, layer0=(i == 0))
+        col_scale = []
+        for p_ref, ((l1, l2, l3), coeff) in enumerate(zip(spec.paths, spec.coeff)):
+            scale = (
+                coeff
+                * ec.w3j_cg_ratio(l1, l2, l3)
+                * np.sqrt(2 * l2 + 1)     # component SH vs our Y_l0(z)=1
+                * (-1.0) ** l2            # edge direction flip
+            )
+            col_scale.append((ours_paths.index((l1, l2, l3)), scale))
+        w0, k1 = fcn2(f"{r}.fc_node", 32, col_scale)
+        _fill(p, f"{t}/fc_rbf/Dense_0/kernel", w0)
+        _fill(p, f"{t}/fc_rbf/Dense_0/bias", np.zeros(32, w0.dtype))
+        _fill(p, f"{t}/fc_rbf/Dense_1/kernel", k1)
+        _fill(p, f"{t}/fc_rbf/Dense_1/bias", np.zeros(k1.shape[1], k1.dtype))
+
+        # layer_l0 (s0 FCN): same column layout, unit scale (folded above)
+        w0s = state[f"{r}.layer_l0.0.weight"] / np.sqrt(
+            state[f"{r}.layer_l0.0.weight"].shape[0]
+        )
+        w0s = _qhnet_s0_rows(w0s, c, n_l, layer0=(i == 0))
+        w1s = state[f"{r}.layer_l0.1.weight"] * (c_ssp / np.sqrt(32))
+        k1s = np.zeros((32, len(ours_paths) * c), w1s.dtype)
+        for p_ref, (l1, l2, l3) in enumerate(spec.paths):
+            dst = ours_paths.index((l1, l2, l3))
+            k1s[:, dst * c : (dst + 1) * c] = w1s[:, p_ref * c : (p_ref + 1) * c]
+        _fill(p, f"{t}/fc_s0/Dense_0/kernel", w0s)
+        _fill(p, f"{t}/fc_s0/Dense_0/bias", np.zeros(32, w0s.dtype))
+        _fill(p, f"{t}/fc_s0/Dense_1/kernel", k1s)
+        _fill(p, f"{t}/fc_s0/Dense_1/bias", np.zeros(k1s.shape[1], k1s.dtype))
+
+        if i != 0:
+            _e3nn_linear_fill(p, f"{t}/linear_pre", f"{r}.linear_node_pre", state, c, c)
+            _e3nn_linear_fill(p, f"{t}/linear_in", f"{r}.linear_node", state, c, c)
+            _norm_gate_fill(p, f"{t}/norm_gate", f"{r}.norm_gate", state)
+        _e3nn_linear_fill(p, f"{t}/linear_out", f"{r}.linear_out", state, c, c)
+
+    uuu = ec.qhnet_uuu_tp(LMAX)
+    uuu_scale = np.asarray(
+        [cf * ec.w3j_cg_ratio(*pp) for pp, cf in zip(uuu.paths, uuu.coeff)]
+    )
+    n_self = model.num_layers - model.start_layer - 1
+    for k in range(n_self):
+        i = model.start_layer + 1 + k
+        t, r = f"self_{i}", f"e3_gnn_node_layer.{k}"
+        _norm_gate_fill(p, f"{t}/ng1", f"{r}.norm_gate_1", state)
+        _norm_gate_fill(p, f"{t}/ng2", f"{r}.norm_gate_2", state)
+        _norm_gate_fill(p, f"{t}/ng3", f"{r}.norm_gate", state)
+        _e3nn_linear_fill(p, f"{t}/lin1", f"{r}.linear_node_1", state, c, c)
+        _e3nn_linear_fill(p, f"{t}/lin2", f"{r}.linear_node_2", state, c, c)
+        _e3nn_linear_fill(p, f"{t}/lin3", f"{r}.linear_node_3", state, c, c)
+        w = state[f"{r}.tp.weight"].reshape(len(uuu.paths), c)
+        _fill(p, f"{t}/tp_weights", w * uuu_scale[:, None])
+
+        t, r = f"pair_{i}", f"e3_gnn_node_pair_layer.{k}"
+        _e3nn_linear_fill(p, f"{t}/lin_inner", f"{r}.linear_node_pair_inner", state, c, c)
+        _e3nn_linear_fill(p, f"{t}/lin_n", f"{r}.linear_node_pair_n", state, c, c)
+        _e3nn_linear_fill(p, f"{t}/lin_out", f"{r}.linear_node_pair", state, c, c)
+        _norm_gate_fill(p, f"{t}/ng_pre", f"{r}.norm_gate_pre", state)
+        _norm_gate_fill(p, f"{t}/ng_post", f"{r}.norm_gate", state)
+        # tp_node_pair(node[src], node[dst]) vs our (dst, src): our path
+        # (l1,l2,l3) takes the reference's (l2,l1,l3) column block, with
+        # the swap sign folded in
+        swap_cols = []
+        for p_ref, ((l1, l2, l3), coeff) in enumerate(zip(uuu.paths, uuu.coeff)):
+            dst = ours_paths.index((l2, l1, l3))
+            scale = coeff * ec.w3j_cg_ratio(l1, l2, l3) * ec.cg_swap_sign(l1, l2, l3)
+            swap_cols.append((dst, scale))
+        w0, k1 = fcn2(f"{r}.fc_node_pair", 8, swap_cols)
+        _fill(p, f"{t}/fc_rbf/Dense_0/kernel", w0)
+        _fill(p, f"{t}/fc_rbf/Dense_0/bias", np.zeros(8, w0.dtype))
+        _fill(p, f"{t}/fc_rbf/Dense_1/kernel", k1)
+        _fill(p, f"{t}/fc_rbf/Dense_1/bias", np.zeros(k1.shape[1], k1.dtype))
+        # fc (plain torch Sequential WITH biases): s0 rows + swap columns
+        w0s = _qhnet_s0_rows_pair(_t(state[f"{r}.fc.0.weight"]), c, n_l)
+        _fill(p, f"{t}/fc_s0/Dense_0/kernel", w0s)
+        _fill(p, f"{t}/fc_s0/Dense_0/bias", state[f"{r}.fc.0.bias"])
+        w1s = _t(state[f"{r}.fc.2.weight"])
+        b1s = state[f"{r}.fc.2.bias"]
+        k1s = np.zeros((c, len(ours_paths) * c), w1s.dtype)
+        bs = np.zeros(len(ours_paths) * c, b1s.dtype)
+        for p_ref, (l1, l2, l3) in enumerate(uuu.paths):
+            dst = ours_paths.index((l2, l1, l3))
+            k1s[:, dst * c : (dst + 1) * c] = w1s[:, p_ref * c : (p_ref + 1) * c]
+            bs[dst * c : (dst + 1) * c] = b1s[p_ref * c : (p_ref + 1) * c]
+        _fill(p, f"{t}/fc_s0/Dense_1/kernel", k1s)
+        _fill(p, f"{t}/fc_s0/Dense_1/bias", bs)
+
+    _e3nn_linear_fill(p, "output_ii", "output_ii", state, c, cb)
+    _e3nn_linear_fill(p, "output_ij", "output_ij", state, c, cb)
+
+    # Expansion heads: reference (l_in, lo1, lo2) column order -> our
+    # (lo1, lo2, l_in); mu per block; bias blocks additionally /cb
+    layout = OrbitalLayout(model.orbitals or _default_qhnet_orbitals(), model.num_elements)
+    ref_ins, n_w, n_b = ec.expansion_instructions(tuple(layout.mults), cb, LMAX)
+    ours_off = {}
+    w_off, b_off = 0, 0
+    for lo1, _, mul1 in layout.group_slices():
+        for lo2, _, mul2 in layout.group_slices():
+            for l_in in range(abs(lo1 - lo2), min(lo1 + lo2, LMAX) + 1):
+                ours_off[(l_in, lo1, lo2)] = (w_off, b_off if l_in == 0 else None)
+                w_off += cb * mul1 * mul2
+                if l_in == 0:
+                    b_off += mul1 * mul2
+    assert w_off == n_w and b_off == n_b, (w_off, n_w, b_off, n_b)
+
+    def expansion_head(ours, torch_pfx, first_in_plain=True):
+        _fill(p, f"{ours}/Dense_0/kernel", _t(state[f"{torch_pfx}.0.weight"]))
+        _fill(p, f"{ours}/Dense_0/bias", state[f"{torch_pfx}.0.bias"])
+        w1 = _t(state[f"{torch_pfx}.2.weight"])
+        b1 = state[f"{torch_pfx}.2.bias"]
+        k = np.zeros((w1.shape[0], n_w), w1.dtype)
+        b = np.zeros(n_w, b1.dtype)
+        for (l_in, lo1, lo2, mul1, mul2, rw, _rb) in ref_ins:
+            size = cb * mul1 * mul2
+            ow = ours_off[(l_in, lo1, lo2)][0]
+            mu = ec.w3j_cg_ratio(lo1, lo2, l_in)
+            k[:, ow : ow + size] = w1[:, rw : rw + size] * mu
+            b[ow : ow + size] = b1[rw : rw + size] * mu
+        _fill(p, f"{ours}/Dense_1/kernel", k)
+        _fill(p, f"{ours}/Dense_1/bias", b)
+
+    def expansion_bias_head(ours, torch_pfx):
+        _fill(p, f"{ours}/Dense_0/kernel", _t(state[f"{torch_pfx}.0.weight"]))
+        _fill(p, f"{ours}/Dense_0/bias", state[f"{torch_pfx}.0.bias"])
+        w1 = _t(state[f"{torch_pfx}.2.weight"])
+        b1 = state[f"{torch_pfx}.2.bias"]
+        k = np.zeros((w1.shape[0], n_b), w1.dtype)
+        b = np.zeros(n_b, b1.dtype)
+        for (l_in, lo1, lo2, mul1, mul2, _rw, rb) in ref_ins:
+            if l_in != 0:
+                continue
+            size = mul1 * mul2
+            ob = ours_off[(0, lo1, lo2)][1]
+            mu = ec.w3j_cg_ratio(lo1, lo2, 0) / cb
+            k[:, ob : ob + size] = w1[:, rb : rb + size] * mu
+            b[ob : ob + size] = b1[rb : rb + size] * mu
+        _fill(p, f"{ours}/Dense_1/kernel", k)
+        _fill(p, f"{ours}/Dense_1/bias", b)
+
+    expansion_head("fc_ii", "fc_ii.hamiltonian")
+    expansion_head("fc_ij", "fc_ij.hamiltonian")
+    expansion_bias_head("fc_ii_bias", "fc_ii_bias.hamiltonian")
+    expansion_bias_head("fc_ij_bias", "fc_ij_bias.hamiltonian")
+    return params
+
+
+def _default_qhnet_orbitals():
+    from nabladft_tpu.models.qhnet import DEF2_SVP_ORBITALS
+
+    return DEF2_SVP_ORBITALS
 
 
 def convert_state_dict(family: str, state: Dict[str, np.ndarray], model, example_batch):

@@ -300,6 +300,12 @@ class ConvNetLayer(nn.Module):
     rbf_dim: int
     use_norm_gate: bool = True
     use_pallas: bool = False
+    # reference residual wiring (layers.py:269-273 + qhnet ConvNetLayer
+    # :338-343): the conv-internal skip `msgs + self_x` exists only when
+    # irrep_in == irrep_out, which is FALSE for layer 0 (input 128x0e);
+    # the outer `old_x + conv(x)` skip is added by the caller. Our default
+    # design keeps the internal skip at every layer and no outer skip.
+    ref_residual: bool = False
 
     @nn.compact
     def __call__(self, xs, sh, rbf, adj, cgsh=None):
@@ -368,7 +374,10 @@ class ConvNetLayer(nn.Module):
             ]
             msgs = weighted_tensor_product(x_j, sh, w, LMAX)  # [B,A,A,C,2l3+1]
             agg = [m.sum(axis=2) for m in msgs]
-        out = [a_ + g for a_, g in zip(agg, gated)]  # resnet (reference :270)
+        if self.ref_residual and not self.use_norm_gate:
+            out = agg  # reference layer 0: irrep_in(0e) != irrep_out, no skip
+        else:
+            out = [a_ + g for a_, g in zip(agg, gated)]  # resnet (reference :270)
         return IrrepsLinear(c, name="linear_out")(out)
 
 
@@ -573,6 +582,15 @@ class QHNet(nn.Module):
     # parity is pinned by tests/ops/test_qhnet_tp.py). True forces the
     # kernels (interpret mode on CPU), False forces the einsum path.
     use_pallas: Union[bool, str] = "auto"
+    # reference-compatible wiring for converted torch checkpoints
+    # (models/pretrained.convert_qhnet): outer conv residual for layers>=1
+    # and none at layer 0 (qhnet.py:338-343 / layers.py:269-273), and the
+    # Expansion weight/bias MLPs fed from the STATIC node embedding — the
+    # reference stores the embedding in data.node_attr before the layer
+    # loop and fc_ii/fc_ij read data.node_attr, not the final features
+    # (qhnet.py:188-231). Our from-scratch default (False) keeps the
+    # richer final-scalar heads and per-layer internal skips.
+    ref_compat: bool = False
 
     def _pallas_enabled(self) -> bool:
         if self.use_pallas == "auto":
@@ -626,10 +644,15 @@ class QHNet(nn.Module):
         fii = None
         fij = None
         for i in range(self.num_layers):
-            xs = conv_cls(
+            new_xs = conv_cls(
                 c, self.rbf_dim, use_norm_gate=(i != 0),
-                use_pallas=use_pallas, name=f"conv_{i}",
+                use_pallas=use_pallas, ref_residual=self.ref_compat,
+                name=f"conv_{i}",
             )(xs, sh, rbf, dg.adj, cgsh)
+            if self.ref_compat and i != 0:
+                xs = [o + n for o, n in zip(xs, new_xs)]
+            else:
+                xs = new_xs
             if i > self.start_layer:
                 fii = SelfNetLayer(c, name=f"self_{i}")(xs, fii)
                 fij = pair_cls(
@@ -640,7 +663,9 @@ class QHNet(nn.Module):
         fij = IrrepsLinear(cb, name="output_ij")(fij)
 
         n_w, n_b = expansion_weight_counts(layout, cb)
-        x0 = xs[0][..., 0]  # [B,A,C] scalar node features
+        # reference fc_ii/fc_ij consume the static embedding (data.node_attr,
+        # qhnet.py:188-231); our default uses the final scalar features
+        x0 = emb if self.ref_compat else xs[0][..., 0]  # [B,A,C]
         w_ii = MLP([c, n_w], name="fc_ii")(x0)
         b_ii = MLP([c, n_b], name="fc_ii_bias")(x0)
         pair_scal = jnp.concatenate(
