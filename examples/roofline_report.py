@@ -38,6 +38,18 @@ ALL_MODELS = [
     "escn", "equiformer_v2", "qhnet", "phisnet",
 ]
 
+# The headline PaiNN row is not in bench.ZOO_BENCH (bench.main hardcodes
+# it); mirror that config here so the roofline covers all 9 rows.
+PAINN_SPEC = dict(
+    batch=256,
+    force_grads="pallas",
+    kwargs=dict(
+        hidden=128, n_interactions=6, n_rbf=100, cutoff=5.0,
+        max_neighbors=40, compute_dtype="bfloat16", remat=False,
+        use_pallas="fused",
+    ),
+)
+
 
 def report(name: str) -> dict:
     import jax  # noqa: F401 — device init
@@ -72,7 +84,7 @@ def report(name: str) -> dict:
         mm_dtype = "float32"  # Hamiltonian models train fp32 (see bench_ham)
         bsz = batch.z.shape[0]
     else:
-        spec = bench.ZOO_BENCH[name]
+        spec = bench.ZOO_BENCH[name] if name != "painn" else PAINN_SPEC
         model = create_model(name, **spec["kwargs"])
         cfg = TrainerConfig(
             schedule="constant", lr=1e-4, log_every_n_steps=10**9,
@@ -111,10 +123,25 @@ def report(name: str) -> dict:
         t_mem = nbytes / bw
         ideal = max(t_flop, t_mem)
         row.update(
+            t_flop_ms=round(t_flop * 1e3, 2),
+            t_mem_ms=round(t_mem * 1e3, 2),
             ideal_ms=round(ideal * 1e3, 2),
             bound="compute" if t_flop >= t_mem else "memory",
             sol_frac=round(ideal / step_s, 3),
+            # XLA cost analysis counts operand+result bytes of every HLO
+            # op BEFORE fusion folds intermediates into registers/VMEM, so
+            # bytes_gb overstates true HBM traffic for elementwise-heavy
+            # steps; sol_frac > 1 means exactly that. The FLOP ceiling has
+            # no such slack (pallas kernels carry analytic CostEstimates),
+            # so sol_frac_flop = t_flop/step is the dependable
+            # how-far-from-the-MXU-roof number.
+            sol_frac_flop=round(t_flop / step_s, 3),
         )
+        if row["sol_frac"] > 1.0:
+            row["note"] = (
+                "bytes overcounted (pre-fusion XLA accounting): memory "
+                "bound not inferable; use sol_frac_flop"
+            )
     return row
 
 
@@ -123,10 +150,24 @@ def main() -> None:
     ap.add_argument("--model", default=None, choices=ALL_MODELS)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--out", default="results/roofline.json")
+    ap.add_argument("--merge", default=None, metavar="JSON",
+                    help="with --model: replace that model's row in an "
+                         "existing --all output file instead of printing")
     args = ap.parse_args()
 
     if args.model:
-        print(json.dumps(report(args.model)), flush=True)
+        t0 = time.perf_counter()
+        row = report(args.model)
+        row["wall_s"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(row), flush=True)
+        if args.merge:
+            path = Path(args.merge)
+            rows = json.loads(path.read_text()) if path.exists() else []
+            rows = [r for r in rows if r.get("model") != args.model]
+            rows.append(row)
+            order = {m: i for i, m in enumerate(ALL_MODELS)}
+            rows.sort(key=lambda r: order.get(r.get("model"), 99))
+            path.write_text(json.dumps(rows, indent=1))
         return
 
     rows = []
