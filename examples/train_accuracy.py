@@ -50,9 +50,12 @@ MODEL_KW = {
     "gemnet_oc": dict(num_blocks=4, emb_size_atom=256, emb_size_edge=512,
                       num_radial=128, num_spherical=7, cutoff=12.0,
                       max_neighbors=30, max_neighbors_qint=8),
+    # bf16 like the bench path (tracks fp32 within 5%,
+    # tests/models/test_bf16_zoo.py); the fp32 fused path at the fixture's
+    # 64-atom bucket hung in compile on the r5 rerun
     "escn": dict(num_layers=8, l_max=6, m_max=2, sphere_channels=128,
                  hidden=256, edge_channels=128, cutoff=8.0, max_neighbors=40,
-                 num_sphere_samples=128),
+                 num_sphere_samples=128, compute_dtype="bfloat16"),
     # bf16 compute: the fused path's fp32 force-block backward exceeds
     # VMEM (equiformer_v2._pallas_enabled); bf16 matches the bench path
     # and tracks fp32 within 5% (tests/models/test_bf16_zoo.py)
@@ -116,6 +119,14 @@ def main():
     ap.add_argument("--early-stop", type=int, default=200)
     ap.add_argument("--energy-coef", type=float, default=1.0)
     ap.add_argument("--force-coef", type=float, default=1.0)
+    # wall-clock bound: stop fit after this many seconds but still run
+    # test + write the JSON (queue slices on the shared chip — an outer
+    # `timeout` leaves no artifact at all, which is how the r5 eSCN rerun
+    # burned 3400 s for nothing)
+    ap.add_argument("--max-seconds", type=float, default=None)
+    # force the XLA path: the eSCN fused kernel is unvalidated at the
+    # fixture's 64-atom bucket in fp32 (the r5 rerun hung in compile)
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
     ds, test_ds, split_name = try_download_tiny(Path("datasets"))
@@ -157,8 +168,11 @@ def main():
     per_atom = e / np.maximum(na, 1)
     mean, std = float(per_atom.mean()), float(e.std() / np.sqrt(na.mean()))
 
+    kw = dict(MODEL_KW[args.model])
+    if args.no_pallas:
+        kw["use_pallas"] = False
     model = create_model(args.model, energy_mean=mean, energy_std=max(std, 1e-6),
-                         **MODEL_KW[args.model])
+                         **kw)
     # dimenetpp: reference lr (config/dimenetplusplus.yaml optimizer.lr
     # 1e-4) + warmup — even with normalized aggregations its init
     # gradients are the zoo's largest
@@ -178,6 +192,7 @@ def main():
         loss_coefs={"energy": args.energy_coef, "forces": args.force_coef},
         force_grads="pallas" if args.model == "painn" else "direct",
         monitor="val/loss",
+        max_seconds=args.max_seconds,
     )
     trainer = Trainer(model, cfg)
     t0 = time.time()

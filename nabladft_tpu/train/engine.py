@@ -48,6 +48,12 @@ logger = logging.getLogger(__name__)
 class TrainerConfig:
     max_epochs: int = 100
     max_steps: Optional[int] = None
+    # wall-clock bound on fit() (Lightning Trainer max_time parity): stop
+    # after the first optimizer step past the limit, then run the normal
+    # epoch-end validate/checkpoint path so a bounded run still leaves a
+    # usable artifact (queue slices on the shared chip need this — an
+    # outer `timeout` kills the process with nothing written).
+    max_seconds: Optional[float] = None
     optimizer: str = "adamw"  # adamw | adam | amsgrad | sgd
     lr: float = 1e-4
     weight_decay: float = 0.0
@@ -498,6 +504,7 @@ class Trainer:
         bad_epochs = 0
         final_metrics: Dict[str, float] = {}
         t_last = time.perf_counter()
+        t_fit0 = t_last
         try:
             for epoch in range(cfg.max_epochs):
                 for batch in train_loader:
@@ -551,6 +558,14 @@ class Trainer:
                         if self.ckpt:
                             self.ckpt.save(self.state, step, mid, aux=self._ckpt_aux())
                     if cfg.max_steps and step >= cfg.max_steps:
+                        stop = True
+                        break
+                    if (
+                        cfg.max_seconds
+                        and time.perf_counter() - t_fit0 > cfg.max_seconds
+                    ):
+                        logger.info("stopping: max_seconds %.0f reached",
+                                    cfg.max_seconds)
                         stop = True
                         break
                     lr_now = current_learning_rate(self.state.opt_state)

@@ -100,6 +100,25 @@ def test_max_steps_stops(toy_data):
     assert int(trainer.state.step) == 3
 
 
+def test_max_seconds_stops(toy_data):
+    """Wall-clock bound (Lightning max_time parity): fit stops promptly and
+    still returns epoch-end validation metrics."""
+    model = create_model("schnet", hidden=16, n_interactions=1, n_rbf=8, max_neighbors=7)
+    cfg = TrainerConfig(
+        max_epochs=10**6, max_seconds=2.0, schedule="constant",
+        log_every_n_steps=1000,
+        loss_specs={"energy": "mse"}, loss_coefs={"energy": 1.0}, n_dp=1,
+    )
+    trainer = Trainer(model, cfg)
+    import time
+
+    t0 = time.perf_counter()
+    final = trainer.fit(ToyModule(toy_data))
+    assert time.perf_counter() - t0 < 60
+    assert int(trainer.state.step) >= 1
+    assert "val/loss" in final
+
+
 @pytest.mark.parallel
 def test_dp_sharding_matches_single_device(toy_data):
     """Same seed, same data: dp=8 must produce the same training result as
