@@ -46,6 +46,8 @@ _TINY_KW = {
     "dimenetpp": dict(num_blocks=2, hidden=16, int_emb_size=8,
                       basis_emb_size=4, out_emb_channels=8, num_spherical=3,
                       num_radial=4, max_neighbors=4),
+    "graphormer3d": dict(blocks=1, layers=1, embed_dim=16, ffn_embed_dim=16,
+                         attention_heads=2, num_kernel=8),
 }
 
 

@@ -127,6 +127,11 @@ def main():
     # force the XLA path: the eSCN fused kernel is unvalidated at the
     # fixture's 64-atom bucket in fp32 (the r5 rerun hung in compile)
     ap.add_argument("--no-pallas", action="store_true")
+    # cross-slice resume: with a ckpt dir, each wall-bounded slice resumes
+    # from the previous slice's last checkpoint (optimizer/plateau state
+    # included) and tests on the cross-slice best-val params — accuracy
+    # runs accumulate across queue slices instead of restarting.
+    ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args()
 
     ds, test_ds, split_name = try_download_tiny(Path("datasets"))
@@ -193,11 +198,25 @@ def main():
         force_grads="pallas" if args.model == "painn" else "direct",
         monitor="val/loss",
         max_seconds=args.max_seconds,
+        ckpt_dir=args.ckpt_dir,
     )
     trainer = Trainer(model, cfg)
+    resume_path = None
+    if args.ckpt_dir:
+        lp = trainer.ckpt.last_path()
+        if lp is not None and lp.exists():
+            resume_path = str(lp)
+            print(f"resuming from {resume_path}", flush=True)
     t0 = time.time()
-    trainer.fit(dm)
+    trainer.fit(dm, ckpt_path=resume_path)
     wall = time.time() - t0
+    if args.ckpt_dir:
+        # test on the CROSS-slice best (the ckpt index spans slices; the
+        # in-memory best snapshot only covers this one)
+        bp = trainer.ckpt.best_path()
+        if bp is not None and bp.exists():
+            trainer.state, _ = trainer.ckpt.restore(trainer.state, bp)
+            trainer.cfg.restore_best_for_test = False
     test = trainer.test(test_loader)
     result = {
         "model": args.model,

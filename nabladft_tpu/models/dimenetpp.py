@@ -269,6 +269,11 @@ class DimeNetPP(nn.Module):
     energy_mean: float = 0.0
     energy_std: float = 1.0
     remat: bool = True
+    # checkpoint ONLY the pos→basis graph (rbf/G/Rt/S/Yc): the basis is
+    # hundreds of small elementwise ops on [B,A,·] lattices whose saved
+    # residuals are pure HBM traffic in the force second-order backward;
+    # recomputing them is nearly free next to the H=256 GEMM stack.
+    remat_basis: bool = False
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     # K-compacted edge layout (see module docstring). Same parameter tree
     # as the dense layout; flip freely across checkpoints.
@@ -330,66 +335,86 @@ class DimeNetPP(nn.Module):
                 dg.diff / jnp.maximum(dg.dist, 1e-10)[..., None], 0.0,
             )
 
-        rbf = dimenet_bessel_rbf(
-            dist, self.num_radial, self.cutoff, self.envelope_exponent,
-            freqs=freqs,
-        )
-        rbf = jnp.where(adj[..., None], rbf, 0.0).astype(cdt)
-
-        # Legendre-addition-theorem pair features (no triplet lattice):
-        #   sbf_ln(d_jk, θ_ijk) = (-1)^l √(4π/(2l+1)) Σ_m Y_lm(û_ij)·
-        #                          R̃_ln(d_jk) Y_lm(û_jk)
-        # ((-1)^l is the parity Y(−û) = (−1)^l Y(û): the i-side unit is
-        # û_ji = −û_ij). Orthonormal real harmonics make this exact.
-        y = so3.real_sph_harm(unit, L1 - 1, normalized=True)
-        y = jnp.where(adj[..., None], y, 0.0).astype(cdt)  # [B,A,·,(L)²]
-        yc = y * jnp.asarray(c_lm, cdt)
-        rad = dimenet_radial_part(
-            dist, self.num_spherical, self.num_radial, self.cutoff,
-            self.envelope_exponent,
-        )
-        rad = jnp.where(adj[..., None], rad, 0.0).astype(cdt)  # [B,A,·,(L)·R]
-        g_parts = [
-            (y[..., l * l : (l + 1) * (l + 1), None]
-             * rad[..., None, l * R : (l + 1) * R]).reshape(
-                *adj.shape, (2 * l + 1) * R)
-            for l in range(L1)
-        ]
-        G = jnp.concatenate(g_parts, axis=-1)  # [B,A,·, R·(L)²]
         if self.compact:
-            # reverse-edge basis values come free of gathers: the distance
-            # is symmetric (Rt == rad) and Y picks up only the parity sign.
-            yt = y * jnp.asarray(parity, cdt)
-            rt = rad
-        else:
-            yt = jnp.swapaxes(y, 1, 2)
-            rt = jnp.swapaxes(rad, 1, 2)
-        # S[b,i,·,l] = Σ_m Yc_lm · Y_lm(reverse edge) — block-independent
-        s_parts = [
-            jnp.einsum(
-                "bijm,bijm->bij",
-                yc[..., l * l : (l + 1) * (l + 1)],
-                yt[..., l * l : (l + 1) * (l + 1)],
-            )
-            for l in range(L1)
-        ]
-        feats = {"G": G, "Rt": rt, "S": jnp.stack(s_parts, axis=-1)}
-        if self.compact:
-            # dense Yc for the triplet-closing einsum (InteractionPPBlock);
-            # zeroed outside the cutoff so padded-atom units never leak.
-            # `dgd` is the same dense graph the neighbor list was built from.
             unit_d = jnp.where(
                 dgd.adj[..., None],
                 dgd.diff / jnp.maximum(dgd.dist, 1e-10)[..., None], 0.0,
             )
-            y_d = so3.real_sph_harm(unit_d, L1 - 1, normalized=True)
-            y_d = jnp.where(dgd.adj[..., None], y_d, 0.0).astype(cdt)
+            adj_d = dgd.adj
+        else:
+            unit_d = None
+            adj_d = None
+
+        def _basis(freqs_in, dist_in, unit_in, unit_d_in):
+            """pos→basis graph, separable so remat_basis can checkpoint it
+            (its intermediates otherwise all become stored residuals of the
+            force reverse pass AND of the second-order reverse over it)."""
+            rbf = dimenet_bessel_rbf(
+                dist_in, self.num_radial, self.cutoff, self.envelope_exponent,
+                freqs=freqs_in,
+            )
+            rbf = jnp.where(adj[..., None], rbf, 0.0).astype(cdt)
+
+            # Legendre-addition-theorem pair features (no triplet lattice):
+            #   sbf_ln(d_jk, θ_ijk) = (-1)^l √(4π/(2l+1)) Σ_m Y_lm(û_ij)·
+            #                          R̃_ln(d_jk) Y_lm(û_jk)
+            # ((-1)^l is the parity Y(−û) = (−1)^l Y(û): the i-side unit is
+            # û_ji = −û_ij). Orthonormal real harmonics make this exact.
+            y = so3.real_sph_harm(unit_in, L1 - 1, normalized=True)
+            y = jnp.where(adj[..., None], y, 0.0).astype(cdt)  # [B,A,·,(L)²]
+            yc = y * jnp.asarray(c_lm, cdt)
+            rad = dimenet_radial_part(
+                dist_in, self.num_spherical, self.num_radial, self.cutoff,
+                self.envelope_exponent,
+            )
+            rad = jnp.where(adj[..., None], rad, 0.0).astype(cdt)  # [B,A,·,(L)·R]
+            g_parts = [
+                (y[..., l * l : (l + 1) * (l + 1), None]
+                 * rad[..., None, l * R : (l + 1) * R]).reshape(
+                    *adj.shape, (2 * l + 1) * R)
+                for l in range(L1)
+            ]
+            G = jnp.concatenate(g_parts, axis=-1)  # [B,A,·, R·(L)²]
+            if self.compact:
+                # reverse-edge basis values come free of gathers: the
+                # distance is symmetric (Rt == rad) and Y picks up only the
+                # parity sign.
+                yt = y * jnp.asarray(parity, cdt)
+                rt = rad
+            else:
+                yt = jnp.swapaxes(y, 1, 2)
+                rt = jnp.swapaxes(rad, 1, 2)
+            # S[b,i,·,l] = Σ_m Yc_lm · Y_lm(reverse edge) — block-independent
+            s_parts = [
+                jnp.einsum(
+                    "bijm,bijm->bij",
+                    yc[..., l * l : (l + 1) * (l + 1)],
+                    yt[..., l * l : (l + 1) * (l + 1)],
+                )
+                for l in range(L1)
+            ]
+            S = jnp.stack(s_parts, axis=-1)
+            if self.compact:
+                # dense Yc for the triplet-closing einsum
+                # (InteractionPPBlock); zeroed outside the cutoff so
+                # padded-atom units never leak.
+                y_d = so3.real_sph_harm(unit_d_in, L1 - 1, normalized=True)
+                y_d = jnp.where(adj_d[..., None], y_d, 0.0).astype(cdt)
+                y_last = y_d * jnp.asarray(c_lm, cdt)
+            else:
+                y_last = yc
+            return rbf, G, rt, S, y_last
+
+        basis_fn = jax.checkpoint(_basis) if self.remat_basis else _basis
+        rbf, G, rt, S, y_last = basis_fn(freqs, dist, unit, unit_d)
+        feats = {"G": G, "Rt": rt, "S": S}
+        if self.compact:
             feats.update(
-                Yc_dense=y_d * jnp.asarray(c_lm, cdt),
+                Yc_dense=y_last,
                 idx=idx, rev_flat=rev_flat, rev_valid=rev_valid,
             )
         else:
-            feats["Yc"] = yc
+            feats["Yc"] = y_last
 
         # embedding block: m[b,i,·] for edge (j→i)
         x = nn.Embed(self.num_elements, self.hidden, dtype=cdt, name="atom_embedding")(batch.z)

@@ -103,18 +103,28 @@ class NodeForceHead(nn.Module):
     embed_dim: int
     heads: int
     deterministic: bool
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_bias, unit):
+        dt = self.dtype
         d_head = self.embed_dim // self.heads
-        q = nn.Dense(self.embed_dim)(x).reshape(*x.shape[:-1], self.heads, d_head)
-        k = nn.Dense(self.embed_dim)(x).reshape(*x.shape[:-1], self.heads, d_head)
-        v = nn.Dense(self.embed_dim)(x).reshape(*x.shape[:-1], self.heads, d_head)
-        logits = jnp.einsum("bihd,bjhd->bhij", q * d_head**-0.5, k) + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
+        q = nn.Dense(self.embed_dim, dtype=dt)(x).reshape(
+            *x.shape[:-1], self.heads, d_head)
+        k = nn.Dense(self.embed_dim, dtype=dt)(x).reshape(
+            *x.shape[:-1], self.heads, d_head)
+        v = nn.Dense(self.embed_dim, dtype=dt)(x).reshape(
+            *x.shape[:-1], self.heads, d_head)
+        # logits/softmax stay fp32 (additive -1e9 bias under bf16 would
+        # collapse the probability floor)
+        logits = jnp.einsum(
+            "bihd,bjhd->bhij", q * d_head**-0.5, k
+        ).astype(jnp.float32) + attn_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
         probs = nn.Dropout(0.1, deterministic=self.deterministic)(probs)
         # rot_attn[b,h,c,i,j] = probs * unit[...,c]; contract j with v
-        feat = jnp.einsum("bhij,bijc,bjhd->bichd", probs, unit, v)
+        feat = jnp.einsum("bhij,bijc,bjhd->bichd", probs, unit.astype(dt), v)
+        feat = feat.astype(jnp.float32)
         feat = feat.reshape(*x.shape[:-1], 3, self.embed_dim)
         fx = nn.Dense(1)(feat[..., 0, :])
         fy = nn.Dense(1)(feat[..., 1, :])
@@ -173,11 +183,15 @@ class Graphormer3D(nn.Module):
         )
         x = nn.Dropout(self.input_dropout, deterministic=self.deterministic)(x)
 
-        # additive attention bias: -inf on padding senders
-        bias = _gelu(nn.Dense(self.num_kernel, name="bias_proj_0")(gbf))
-        bias = nn.Dense(self.attention_heads, name="bias_proj_1")(bias)
-        bias = jnp.transpose(bias, (0, 3, 1, 2))  # [B,H,A,A]
-        neg_inf = jnp.asarray(-1e9, bias.dtype)
+        # additive attention bias: -inf on padding senders. The gbf→bias
+        # chain is the step's largest non-attention lattice ([B,A,A,128]);
+        # it follows compute_dtype, with the final bias cast back to fp32
+        # where it joins the fp32 attention logits.
+        bias = _gelu(nn.Dense(self.num_kernel, dtype=cdt,
+                              name="bias_proj_0")(gbf.astype(cdt)))
+        bias = nn.Dense(self.attention_heads, dtype=cdt, name="bias_proj_1")(bias)
+        bias = jnp.transpose(bias, (0, 3, 1, 2)).astype(jnp.float32)  # [B,H,A,A]
+        neg_inf = jnp.asarray(-1e9, jnp.float32)
         bias = jnp.where(batch.node_mask[:, None, None, :], bias, neg_inf)
 
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -208,7 +222,8 @@ class Graphormer3D(nn.Module):
         energy = e_atom.sum(axis=1)
 
         forces = NodeForceHead(
-            self.embed_dim, self.attention_heads, self.deterministic, name="force_head"
+            self.embed_dim, self.attention_heads, self.deterministic, cdt,
+            name="force_head"
         )(x, bias, unit)
         forces = forces * batch.node_mask[..., None]
         return {"energy": energy, "forces": forces}
