@@ -387,8 +387,13 @@ def run_all(budget_s: float | None = None) -> None:
     import subprocess
     import sys
 
+    # 2900: the r5 warm-cache row times sum to ~2560 incl. the eqv2 row
+    # (results/bench_rows_r5.jsonl + outputs/bench_rowtimes.json), and the
+    # absolute deadline below makes the budget a hard ceiling, so 2900
+    # keeps ~700 s of margin against the driver kill window while leaving
+    # room for every row to land a value instead of a skip.
     if budget_s is None:
-        budget_s = float(os.environ.get("NABLA_BENCH_BUDGET", 2600))
+        budget_s = float(os.environ.get("NABLA_BENCH_BUDGET", 2900))
     deadline = time.perf_counter() + budget_s
 
     # calibrated estimates: a prior run (e.g. the in-session warmup that
@@ -455,7 +460,12 @@ def run_all(budget_s: float | None = None) -> None:
                 emit_fail(name, f"skipped: {remaining:.0f}s left in "
                                 f"budget ({budget_s:.0f}s)")
                 continue
-            if name != "painn" and remaining < est:
+            # the LAST pending row always gets attempted with whatever
+            # remains (cap = min(row cap, remaining) keeps the deadline
+            # absolute): a timeout emits the same skip line the estimate
+            # check would have, so trying is strictly better odds.
+            is_last = all(r in emitted or r == name for r in print_order)
+            if name != "painn" and remaining < est and not is_last:
                 emit_fail(name, f"skipped: {remaining:.0f}s left < "
                                 f"{est:.0f}s estimate (budget {budget_s:.0f}s)")
                 continue
