@@ -40,15 +40,22 @@ import profile_step
 def _time_fn(fn, *args, n=8, repeats=3):
     import jax
 
+    def _sync(out):
+        # host materialization, NOT block_until_ready: under the axon
+        # tunnel block_until_ready returns before the remote compute
+        # drains (profile_step._time_step uses float() for the same
+        # reason) — the r5 first capture read 0.2 ms "forward" times.
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf)
+
     jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
+    _sync(jfn(*args))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(n):
             out = jfn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append((time.perf_counter() - t0) / n)
     return float(np.median(times))
 
@@ -77,6 +84,7 @@ def main():
     import bench
     import jax
 
+    only_ad = "--only-ad" in sys.argv  # rerun of the pure-AD variants
     spec, b32 = _bench_pieces("dimenetpp")
     out = {}
 
@@ -94,9 +102,10 @@ def main():
 
     _record(out, "fwd", lambda: _time_fn(fwd, params, b32))
     _record(out, "fwd_forces", lambda: _time_fn(fwd_forces, params, b32))
-    _record(out, "energy_step",
-            lambda: _time_step("dimenetpp", spec, b32, energy_only=True))
-    _record(out, "full", lambda: _time_step("dimenetpp", spec, b32))
+    if not only_ad:
+        _record(out, "energy_step",
+                lambda: _time_step("dimenetpp", spec, b32, energy_only=True))
+        _record(out, "full", lambda: _time_step("dimenetpp", spec, b32))
 
     # --- remat of the pos->basis graph ----------------------------------
     rb = {"remat_basis": True}
@@ -110,6 +119,10 @@ def main():
 
     _record(out, "fwd_forces_remat_basis",
             lambda: _time_fn(fwd_forces_rb, params_rb, b32))
+    if only_ad:
+        print(json.dumps({"model": "dimenetpp_decompose_ad", "step_s": out}),
+              flush=True)
+        return
     _record(out, "full_remat_basis",
             lambda: _time_step("dimenetpp", spec, b32, rb))
     _record(out, "energy_step_remat_basis",

@@ -58,6 +58,17 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+# Timing-ablation toggles (examples/ablate_dimenetpp.py): each REMOVES a
+# whole subsystem of InteractionPPBlock so step time can be attributed at
+# bench shapes (the r4 data-zeroing knockouts kept FLOPs and were
+# inconclusive by design). The math is WRONG while a toggle is on; they
+# exist only for timing and are never set by production paths.
+ABLATE_NO_CORR = False
+ABLATE_NO_QLOOP = False
+ABLATE_NO_GATHERS = False
+ABLATE_NO_TRIPLET = False
+
+
 class ResidualLayer(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
@@ -151,19 +162,41 @@ class InteractionPPBlock(nn.Module):
         )
         w12 = (w1 @ w2).astype(dt)  # [(L+1)·R, E]
         G, Rt, S = feats["G"], feats["Rt"], feats["S"]
+        if ABLATE_NO_TRIPLET:
+            x_kj = swish(nn.Dense(self.hidden, use_bias=False, dtype=dt,
+                                  name="up")(x_kj / self.agg_norm))
+            h = x_ji + x_kj
+            for k in range(self.num_before_skip):
+                h = ResidualLayer(self.hidden, dtype=dt,
+                                  name=f"before_skip_{k}")(h)
+            h = swish(nn.Dense(self.hidden, dtype=dt, name="skip")(h)) + m
+            for k in range(self.num_after_skip):
+                h = ResidualLayer(self.hidden, dtype=dt,
+                                  name=f"after_skip_{k}")(h)
+            return jnp.where(adj[..., None], h, 0.0)
         # Q[b,j,(l,m,n),e] = Σ_k G[b,j,k,(lmn)]·x_kj[b,j,k,e]
         # (identical einsum in both layouts: the contracted axis is dense j
         # or the K neighbor slots of j)
         qm = jnp.einsum("bjkq,bjke->bjqe", G, x_kj)
-        q_parts = []
-        for l in range(L1):
-            n_m = 2 * l + 1
-            sl = qm[:, :, R * l * l : R * (l + 1) * (l + 1), :]
-            sl = sl.reshape(*sl.shape[:2], n_m, R, sl.shape[-1])
-            w12_l = w12[l * R : (l + 1) * R]  # [R, E]
-            q_parts.append(jnp.einsum("bjmne,ne->bjme", sl, w12_l))
-        q = jnp.concatenate(q_parts, axis=2)  # [B,A,(L+1)²,E]
-        if "idx" in feats:
+        if ABLATE_NO_QLOOP:
+            wq = jnp.ones((L1 * L1 * R, L1 * L1), dt) / (L1 * L1 * R)
+            q = jnp.einsum("bjqe,qp->bjpe", qm, wq)
+        else:
+            q_parts = []
+            for l in range(L1):
+                n_m = 2 * l + 1
+                sl = qm[:, :, R * l * l : R * (l + 1) * (l + 1), :]
+                sl = sl.reshape(*sl.shape[:2], n_m, R, sl.shape[-1])
+                w12_l = w12[l * R : (l + 1) * R]  # [R, E]
+                q_parts.append(jnp.einsum("bjmne,ne->bjme", sl, w12_l))
+            q = jnp.concatenate(q_parts, axis=2)  # [B,A,(L+1)²,E]
+        if "idx" in feats and ABLATE_NO_GATHERS:
+            k_ab = x_kj.shape[2]
+            agg = jnp.einsum(
+                "bijq,bjqe->bije", feats["Yc_dense"][:, :, :k_ab],
+                q[:, :k_ab])
+            xkj_t = x_kj
+        elif "idx" in feats:
             # compact layout: close the triplet over the DENSE j axis (the
             # einsum is only ~0.5 GFLOP) and gather the K needed rows —
             # this keeps the [B,A,K,(L)²,E] gather from ever materializing.
@@ -186,12 +219,13 @@ class InteractionPPBlock(nn.Module):
         # corr = Σ_l (Σ_m Yc_lm[b,i,j]·Y_lm[b,j,i]) · (Σ_n W12·R̃[b,j,i]) · x_kj[b,j,i]
         # S[b,i,·,l] = Σ_m Yc_lm·Y_lm(reverse edge) is block-independent and
         # precomputed once in DimeNetPP.__call__.
-        corr = 0.0
-        for l in range(L1):
-            c_l = jnp.einsum("bijn,ne->bije", Rt[..., l * R : (l + 1) * R],
-                             w12[l * R : (l + 1) * R])
-            corr = corr + S[..., l, None] * c_l
-        agg = agg - corr * xkj_t
+        if not ABLATE_NO_CORR:
+            corr = 0.0
+            for l in range(L1):
+                c_l = jnp.einsum("bijn,ne->bije", Rt[..., l * R : (l + 1) * R],
+                                 w12[l * R : (l + 1) * R])
+                corr = corr + S[..., l, None] * c_l
+            agg = agg - corr * xkj_t
         # normalized aggregation: the raw triplet sum over ~K neighbors
         # amplifies message magnitude ~7x per block at init (measured;
         # matches torch_geometric semantics), compounding to ~1e6 after 6
