@@ -84,6 +84,18 @@ def main():
     _record(out, "sh_l3", lambda: _time_step(
         "dimenetpp", spec, b32, {"num_spherical": 4}))
 
+    # downward batch scaling: B=48 measured 1.71x the B=32 step (060 run)
+    # — superlinear, so the per-conformer optimum may sit BELOW 32
+    import bench
+    import numpy as np
+
+    sizes = [2] if profile_step.TINY else [16, 24]
+    for bs in sizes:
+        bN = bench.make_batch(np.random.default_rng(0), batch_size=bs)
+        _record(out, f"full_b{bs}",
+                lambda bs=bs, bN=bN: _time_step(
+                    "dimenetpp", {**spec, "batch": bs}, bN))
+
     print(json.dumps({"model": "dimenetpp_ablate", "step_s": out}),
           flush=True)
 

@@ -182,14 +182,24 @@ class InteractionPPBlock(nn.Module):
             wq = jnp.ones((L1 * L1 * R, L1 * L1), dt) / (L1 * L1 * R)
             q = jnp.einsum("bjqe,qp->bjpe", qm, wq)
         else:
-            q_parts = []
-            for l in range(L1):
-                n_m = 2 * l + 1
-                sl = qm[:, :, R * l * l : R * (l + 1) * (l + 1), :]
-                sl = sl.reshape(*sl.shape[:2], n_m, R, sl.shape[-1])
-                w12_l = w12[l * R : (l + 1) * R]  # [R, E]
-                q_parts.append(jnp.einsum("bjmne,ne->bjme", sl, w12_l))
-            q = jnp.concatenate(q_parts, axis=2)  # [B,A,(L+1)²,E]
+            # q[b,j,(lm),e] = Σ_n qm[b,j,(lmn),e]·w12[(ln),e], computed as
+            # one elementwise gate + one STATIC one-hot matmul (0/1 sums
+            # are exact) instead of 7 per-l slice einsums: fewer, larger
+            # ops — and their AD transposes stay single ops too.
+            lmn_to_ln = np.concatenate([
+                np.tile(np.arange(l * R, (l + 1) * R), 2 * l + 1)
+                for l in range(L1)
+            ])  # [(lmn)] -> l*R+n
+            lmn_to_lm = np.concatenate([
+                np.repeat(l * l + np.arange(2 * l + 1), R) for l in range(L1)
+            ])  # [(lmn)] -> l²+m
+            proj = np.zeros((len(lmn_to_lm), L1 * L1), np.float32)
+            proj[np.arange(len(lmn_to_lm)), lmn_to_lm] = 1.0
+            q = jnp.einsum(
+                "bjqe,qp->bjpe",
+                qm * w12[jnp.asarray(lmn_to_ln)],
+                jnp.asarray(proj, dt),
+            )  # [B,A,(L+1)²,E]
         if "idx" in feats and ABLATE_NO_GATHERS:
             k_ab = x_kj.shape[2]
             agg = jnp.einsum(
@@ -220,11 +230,12 @@ class InteractionPPBlock(nn.Module):
         # S[b,i,·,l] = Σ_m Yc_lm·Y_lm(reverse edge) is block-independent and
         # precomputed once in DimeNetPP.__call__.
         if not ABLATE_NO_CORR:
-            corr = 0.0
-            for l in range(L1):
-                c_l = jnp.einsum("bijn,ne->bije", Rt[..., l * R : (l + 1) * R],
-                                 w12[l * R : (l + 1) * R])
-                corr = corr + S[..., l, None] * c_l
+            # corr = Σ_{l,n} S_l · Rt_{ln} · w12_{ln,e}: one broadcast
+            # gate ([B,A,·,L,R] is only ~2M elements) + one [L·R, E] GEMM
+            # instead of 7 per-l einsum/accumulate pairs.
+            rt5 = Rt.reshape(*Rt.shape[:-1], L1, R)
+            gated = (S[..., None] * rt5).reshape(*Rt.shape[:-1], L1 * R)
+            corr = jnp.einsum("bijq,qe->bije", gated, w12)
             agg = agg - corr * xkj_t
         # normalized aggregation: the raw triplet sum over ~K neighbors
         # amplifies message magnitude ~7x per block at init (measured;
