@@ -211,17 +211,34 @@ class InteractionPPBlock(nn.Module):
             # einsum is only ~0.5 GFLOP) and gather the K needed rows —
             # this keeps the [B,A,K,(L)²,E] gather from ever materializing.
             agg_d = jnp.einsum("bijq,bjqe->bije", feats["Yc_dense"], q)
-            agg = jnp.take_along_axis(agg_d, feats["idx"][..., None], axis=2)
-            # back-triplet x_kj[b, j, rev(i)] via one flat reverse-edge
-            # gather; rev_valid zeroes slots whose reverse edge fell out of
-            # j's strict top-k (the dense layout's x_kj[b,j,i] is likewise
-            # 0 there because its rbf gate is masked).
-            bsz, a_ax, k_ax, e_ax = x_kj.shape
-            xf = x_kj.reshape(bsz, a_ax * k_ax, e_ax)
-            xkj_t = jnp.take_along_axis(
-                xf, feats["rev_flat"].reshape(bsz, a_ax * k_ax)[..., None], axis=1
-            ).reshape(bsz, a_ax, k_ax, e_ax)
-            xkj_t = xkj_t * feats["rev_valid"][..., None].astype(dt)
+            if "oh" in feats:
+                # one-hot matmul gather (gather_mode="onehot"): the [B,A,K,A]
+                # 0/1 table is built once per forward and shared by every
+                # block; its AD transpose is another matmul, so no TPU
+                # scatter ever appears in any backward order.
+                agg = jnp.einsum("binj,bije->bine", feats["oh"], agg_d)
+            else:
+                agg = jnp.take_along_axis(agg_d, feats["idx"][..., None], axis=2)
+            # back-triplet x_kj[b, j, rev(i)]. onehot mode: the reverse
+            # gather factors into two matmuls against the SAME shared
+            # table — z[b,j,i] = Σ_s oh[b,j,s,i]·x_kj[b,j,s] (scatter-as-
+            # matmul; rows with no reverse edge come out 0, which IS the
+            # rev_valid semantics), then compact z back onto (i,n). take
+            # mode: one flat gather; rev_valid zeroes slots whose reverse
+            # edge fell out of j's strict top-k (the dense layout's
+            # x_kj[b,j,i] is likewise 0 there, rbf gate masked).
+            if "oh" in feats:
+                z = jnp.einsum("bjsi,bjse->bjie", feats["oh"], x_kj)
+                xkj_t = jnp.einsum("binj,bjie->bine", feats["oh"], z)
+            else:
+                bsz, a_ax, k_ax, e_ax = x_kj.shape
+                xf = x_kj.reshape(bsz, a_ax * k_ax, e_ax)
+                xkj_t = jnp.take_along_axis(
+                    xf,
+                    feats["rev_flat"].reshape(bsz, a_ax * k_ax)[..., None],
+                    axis=1,
+                ).reshape(bsz, a_ax, k_ax, e_ax)
+                xkj_t = xkj_t * feats["rev_valid"][..., None].astype(dt)
         else:
             agg = jnp.einsum("bijq,bjqe->bije", feats["Yc"], q)
             xkj_t = jnp.swapaxes(x_kj, 1, 2)
@@ -326,6 +343,10 @@ class DimeNetPP(nn.Module):
     # static normalizer for the atom-sum readout (absorbable into the head
     # MLP's first kernel, so converters stay exact)
     atom_norm: float = 32.0
+    # "take": take_along_axis gathers (backward = scatter-add);
+    # "onehot": the compact agg gather runs as a 0/1 matmul (backward =
+    # transposed matmul, scatter-free at every AD order)
+    gather_mode: str = "take"
 
     derivative_forces = True
 
@@ -458,6 +479,11 @@ class DimeNetPP(nn.Module):
                 Yc_dense=y_last,
                 idx=idx, rev_flat=rev_flat, rev_valid=rev_valid,
             )
+            if self.gather_mode == "onehot":
+                feats["oh"] = (
+                    (idx[..., None] == jnp.arange(a_ax))
+                    & adj[..., None]
+                ).astype(cdt)  # [B,A,K,A]
         else:
             feats["Yc"] = y_last
 
