@@ -96,18 +96,32 @@ ZOO_BENCH = {
         # default): every per-edge Dense and the k-contraction of the
         # triplet step run over K=32 neighbor slots instead of the dense
         # A=48 pair axis (1.5x FLOP cut; parity-tested against the dense
-        # layout). The k->j->i contraction stays a matmul, so derivative
-        # forces remain matmuls at every AD order; direct
-        # reverse-over-reverse keeps the compile fast (surrogate force
-        # grads measured identical step time at B=32).
-        batch=32,
+        # layout). gather_mode="onehot" additionally expresses the
+        # compact agg/reverse-edge gathers as matmuls against one shared
+        # [A*K, A*K] one-hot table, so the reverse-over-reverse force
+        # backward contains NO scatters at any AD order (exact parity,
+        # tests/models/test_dimenetpp_gather.py). Step time is
+        # super-linear in B (dense [B,A,K,K] triplet lattices): B=16 is
+        # the conf/s sweet spot — r5 on-chip probe (results/
+        # ablate_dimenetpp_r5.jsonl): B=16 44.4 ms (360 conf/s, 1.44x)
+        # vs B=24 71.9 ms (334/s) vs B=32 101.0 ms (317/s).
+        batch=16,
         anchor=250.0,  # triplet message passing
-        kwargs=dict(compute_dtype="bfloat16", remat=False),
+        kwargs=dict(
+            compute_dtype="bfloat16", remat=False, gather_mode="onehot",
+        ),
     ),
     "graphormer3d": dict(
+        # remat=False: the 24 weight-shared layers' activations are only
+        # ~6 MB/layer at B=128/A=48/D=512, so recomputing the whole stack
+        # in the backward (model default, sized for A=128 datasets) buys
+        # nothing here and costs an extra forward. r5 on-chip sweep
+        # (results/sweep_graphormer_r5.jsonl): remat_off 67.1 ms
+        # (1907 conf/s, 4.77x) vs base 81.5 ms; B=192/256 scale
+        # sub-linearly and lose on conf/s.
         batch=128,
         anchor=400.0,  # dense attention, direct forces
-        kwargs=dict(compute_dtype="bfloat16"),
+        kwargs=dict(compute_dtype="bfloat16", remat=False),
     ),
 }
 

@@ -17,9 +17,10 @@ def main():
     out = {}
     _record(out, "onehot_b32", lambda: _time_step(
         "dimenetpp", spec, b32, {"gather_mode": "onehot"}))
-    b24 = bench.make_batch(np.random.default_rng(0), batch_size=24)
-    _record(out, "onehot_b24", lambda: _time_step(
-        "dimenetpp", {**spec, "batch": 24}, b24, {"gather_mode": "onehot"}))
+    for bs in (24, 16, 8):
+        bN = bench.make_batch(np.random.default_rng(0), batch_size=bs)
+        _record(out, f"onehot_b{bs}", lambda bs=bs, bN=bN: _time_step(
+            "dimenetpp", {**spec, "batch": bs}, bN, {"gather_mode": "onehot"}))
     print(json.dumps({"model": "dimenetpp_onehot", "step_s": out}), flush=True)
 
 
