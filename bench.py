@@ -73,7 +73,12 @@ ZOO_BENCH = {
         ),
     ),
     "gemnet_oc": dict(
-        batch=32,  # B=64 needs 19.3 GB HBM (quadruplet tensors)
+        # step time is super-linear in B (triplet/quadruplet basis
+        # lattices are HBM-heavy; B=64 needs 19.3 GB): the r5 batch-
+        # scaling probe (results/batch_scaling_r5.jsonl) measured B=16
+        # 46.6 ms (343 conf/s) vs B=24 72.6 ms (331/s) vs B=32 100.9 ms
+        # (317/s) vs B=48 153.3 ms (313/s) — B=16 is the conf/s optimum.
+        batch=16,
         anchor=120.0,  # 4 blocks, quadruplet interactions
         kwargs=dict(
             num_blocks=4, emb_size_atom=256, emb_size_edge=512,
